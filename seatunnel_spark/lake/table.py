@@ -1,0 +1,322 @@
+"""LakeTable — an Iceberg-semantics table format in pure PySpark + POSIX.
+
+Why this exists: the sandbox has no Iceberg runtime jar, but the north star
+requires Iceberg-style behavior — atomic snapshot commits, column-ID-based
+schema evolution, MERGE upserts, idempotent commit summaries. This module
+implements those semantics directly:
+
+- **Atomic commit**: metadata versions ``metadata/v{N}.json`` are created
+  with ``os.link`` (fails if the target exists → optimistic concurrency,
+  the same CAS contract Iceberg gets from its catalog). Readers resolve the
+  table state from the highest version file; a crashed writer leaves only
+  unreferenced orphan files, never a torn table (reference analog: the File
+  sink's idempotent rename commit, FileSinkAggregatedCommitter.java:40-131,
+  with Iceberg's snapshot swap playing the role of the rename).
+- **Epoch ledger**: every commit carries an ``epoch_id``; the set of applied
+  epochs lives in the same metadata document the commit swaps in, so
+  "data visible" and "epoch recorded" are one atomic event. Restart after a
+  crash can re-offer a batch and the commit is skipped — SeaTunnel's
+  exactly-once SinkAggregatedCommitter / checkpoint-ack contract
+  (SinkAggregatedCommitter.java:33-60, CheckpointCoordinator.java:687-741).
+- **Column-ID schema evolution**: fields carry immutable ids; renames change
+  only the name, adds allocate a fresh id, widenings change the type. Data
+  files written under an old schema are aligned at scan time by id
+  (rename/null-fill/cast), so no data rewrite on DDL — Iceberg's documented
+  evolution model, mirroring AlterTableEventHandler.java:53-163.
+- **Hash-bucket layout**: data files live under ``bucket=K`` directories,
+  K = pmod(xxhash64(key), num_buckets). MERGE rewrites only affected buckets
+  (copy-on-write at bucket granularity). At 100 TB the bucket count is the
+  rewrite-amplification knob; a merge-on-read delete-file variant is the
+  known next step, noted in merge.py.
+
+Scale notes: metadata holds per-bucket file lists for the *current* snapshot
+plus an epoch ledger; at 10^10 events with 5 s checkpoints that is a few MB
+of JSON — beyond that, Iceberg splits manifests per bucket, and this format
+has the same seam (bucket_files could point at side manifest files).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seatunnel_spark.schema import LEGAL_WIDENINGS, SchemaChange
+
+_VERSION_RE = re.compile(r"^v(\d+)\.json$")
+
+
+def _type_of(ddl: str) -> T.DataType:
+    return T.StructType.fromDDL(f"x {ddl}")[0].dataType
+
+
+class LakeTable:
+    def __init__(self, root: str, meta: dict, version: int):
+        self.root = root
+        self.meta = meta
+        self.version = version
+
+    # ------------------------------------------------------------ lifecycle
+    @staticmethod
+    def create(
+        root: str,
+        fields: list[tuple[str, str]],
+        key: list[str],
+        num_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        schema = [
+            {"id": i + 1, "name": n, "type": t} for i, (n, t) in enumerate(fields)
+        ]
+        meta = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "num_buckets": num_buckets,
+            "key": list(key),
+            "schemas": {"0": schema},
+            "current_schema_id": 0,
+            "next_column_id": len(fields) + 1,
+            "properties": dict(properties or {}),
+            # wire_bindings: stream field name -> column id (survives renames)
+            "wire_bindings": {n: i + 1 for i, (n, _) in enumerate(fields)},
+            "snapshots": [],
+            "current_snapshot_id": None,
+            "epochs": {},
+        }
+        t = LakeTable(root, meta, -1)
+        t._write_version(meta)
+        return t
+
+    @staticmethod
+    def load(root: str) -> "LakeTable":
+        t = LakeTable(root, {}, -1)
+        t.refresh()
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        mdir = os.path.join(root, "metadata")
+        return os.path.isdir(mdir) and any(_VERSION_RE.match(f) for f in os.listdir(mdir))
+
+    def refresh(self) -> "LakeTable":
+        mdir = os.path.join(self.root, "metadata")
+        versions = [
+            int(m.group(1)) for f in os.listdir(mdir) if (m := _VERSION_RE.match(f))
+        ]
+        v = max(versions)
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            self.meta = json.load(fh)
+        self.version = v
+        return self
+
+    def _write_version(self, meta: dict) -> None:
+        """CAS-create the next metadata version (atomic via os.link)."""
+        mdir = os.path.join(self.root, "metadata")
+        target = os.path.join(mdir, f"v{self.version + 1}.json")
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        try:
+            os.link(tmp, target)  # raises FileExistsError on concurrent commit
+        finally:
+            os.unlink(tmp)
+        self.meta = meta
+        self.version += 1
+
+    def _commit(self, mutate) -> bool:
+        """Optimistic commit loop: refresh → mutate copy → CAS. ``mutate``
+        returns False to abort (e.g. epoch already applied)."""
+        for _ in range(20):
+            meta2 = copy.deepcopy(self.meta)
+            if mutate(meta2) is False:
+                return False
+            try:
+                self._write_version(meta2)
+                return True
+            except FileExistsError:
+                self.refresh()
+        raise RuntimeError("commit contention: 20 CAS attempts failed")
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def num_buckets(self) -> int:
+        return self.meta["num_buckets"]
+
+    @property
+    def key(self) -> list[str]:
+        return self.meta["key"]
+
+    def schema_fields(self, schema_id: int | None = None) -> list[dict]:
+        sid = self.meta["current_schema_id"] if schema_id is None else schema_id
+        return self.meta["schemas"][str(sid)]
+
+    def spark_schema(self, schema_id: int | None = None) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f["name"], _type_of(f["type"]), True) for f in self.schema_fields(schema_id)]
+        )
+
+    def current_snapshot(self) -> dict | None:
+        sid = self.meta["current_snapshot_id"]
+        if sid is None:
+            return None
+        return next(s for s in self.meta["snapshots"] if s["snapshot_id"] == sid)
+
+    def epoch_committed(self, epoch_id: str) -> bool:
+        return epoch_id in self.meta["epochs"]
+
+    def bucket_expr(self, df_cols: list[str] | None = None) -> F.Column:
+        return F.pmod(F.xxhash64(*self.key), F.lit(self.num_buckets)).cast("int")
+
+    # ------------------------------------------------------------ scanning
+    def scan(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        include_meta: bool = False,
+    ) -> DataFrame:
+        """Read the current snapshot (optionally only some buckets), aligning
+        every data file to the current schema by column id.
+
+        Files written under older schemas are projected: renamed columns are
+        matched by id, added columns null-filled, widened columns cast — the
+        Iceberg read-time evolution contract, no rewrite on DDL.
+
+        Every data row carries hidden ``_op``/``_seq`` columns: the RowKind
+        and log offset of the last applied change. Deletes persist as
+        tombstones (``_op = 'D'``) so MERGE stays correct even if micro-batches
+        arrive out of log order (e.g. file-source ordering after restart) —
+        an *older* change can never overwrite or resurrect a newer row.
+        ``include_meta=False`` (the user view) filters tombstones and hides
+        the columns; the merge path reads with ``include_meta=True``.
+        """
+        snap = self.current_snapshot()
+        cur = self.schema_fields()
+        meta_fields = [("_op", "string"), ("_seq", "bigint")]
+
+        def finish(df: DataFrame) -> DataFrame:
+            if include_meta:
+                return df
+            return df.where(F.col("_op") != "D").drop("_op", "_seq")
+
+        empty_schema = T.StructType(
+            self.spark_schema().fields
+            + [T.StructField(n, _type_of(t), True) for n, t in meta_fields]
+        )
+        if snap is None:
+            return finish(spark.createDataFrame([], empty_schema))
+        wanted = set(range(self.num_buckets)) if buckets is None else set(buckets)
+        by_schema: dict[int, list[str]] = {}
+        for b, files in snap["bucket_files"].items():
+            if int(b) in wanted:
+                for f in files:
+                    by_schema.setdefault(f["schema_id"], []).append(
+                        os.path.join(self.root, f["path"])
+                    )
+        parts = []
+        for sid, paths in sorted(by_schema.items()):
+            old = {f["id"]: f for f in self.schema_fields(sid)}
+            raw = spark.read.parquet(*paths)
+            cols = []
+            for f in cur:
+                o = old.get(f["id"])
+                if o is None:
+                    cols.append(F.lit(None).cast(_type_of(f["type"])).alias(f["name"]))
+                else:
+                    cols.append(F.col(o["name"]).cast(_type_of(f["type"])).alias(f["name"]))
+            cols += [F.col("_op"), F.col("_seq").cast("long")]
+            parts.append(raw.select(*cols))
+        if not parts:
+            return finish(spark.createDataFrame([], empty_schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return finish(out)
+
+    # ------------------------------------------------------------ commits
+    def commit_snapshot(
+        self,
+        new_bucket_files: dict[int, list[dict]],
+        epoch_id: str,
+        summary: dict,
+        properties_update: dict | None = None,
+    ) -> bool:
+        """Swap in a snapshot replacing the file lists of the given buckets.
+        Returns False (no-op) if ``epoch_id`` was already applied."""
+
+        def mutate(meta: dict):
+            if epoch_id in meta["epochs"]:
+                return False
+            if properties_update:
+                meta["properties"].update(properties_update)
+            prev = None
+            if meta["current_snapshot_id"] is not None:
+                prev = next(
+                    s for s in meta["snapshots"] if s["snapshot_id"] == meta["current_snapshot_id"]
+                )
+            bucket_files = dict(prev["bucket_files"]) if prev else {}
+            for b, files in new_bucket_files.items():
+                bucket_files[str(b)] = files
+            snap_id = (prev["snapshot_id"] + 1) if prev else 1
+            snap = {
+                "snapshot_id": snap_id,
+                "parent_id": prev["snapshot_id"] if prev else None,
+                "epoch_id": epoch_id,
+                "schema_id": meta["current_schema_id"],
+                "summary": summary,
+                "bucket_files": bucket_files,
+            }
+            # keep full history lean: retain last 50 snapshots' metadata,
+            # current one always present (older data files become orphans —
+            # a vacuum job's concern, as in Iceberg expire_snapshots)
+            meta["snapshots"] = (meta["snapshots"] + [snap])[-50:]
+            meta["current_snapshot_id"] = snap_id
+            meta["epochs"][epoch_id] = snap_id
+            return True
+
+        return self._commit(mutate)
+
+    def update_schema(self, change: SchemaChange, epoch_id: str) -> bool:
+        """Apply a DDL event as a metadata-only commit (no data rewrite).
+        Reference semantics: AlterTableEventHandler.java:53-163; alignment
+        with data commits is the caller's job (DDL-offset sub-transactions).
+        """
+
+        def mutate(meta: dict):
+            if epoch_id in meta["epochs"]:
+                return False
+            cur_id = meta["current_schema_id"]
+            fields = copy.deepcopy(meta["schemas"][str(cur_id)])
+            if change.kind == "add_column":
+                if any(f["name"] == change.name for f in fields):
+                    return False
+                cid = meta["next_column_id"]
+                meta["next_column_id"] += 1
+                fields.append({"id": cid, "name": change.name, "type": change.type})
+                meta["wire_bindings"][change.name] = cid
+            elif change.kind == "rename_column":
+                f = next(f for f in fields if f["name"] == change.old_name)
+                f["name"] = change.name
+            elif change.kind == "widen_type":
+                f = next(f for f in fields if f["name"] == change.name)
+                if (f["type"], change.type) not in LEGAL_WIDENINGS:
+                    raise ValueError(f"illegal widening {f['type']} -> {change.type}")
+                f["type"] = change.type
+            elif change.kind == "drop_column":
+                fields = [f for f in fields if f["name"] != change.name]
+            else:
+                raise ValueError(f"unknown schema change kind: {change.kind}")
+            new_id = max(int(k) for k in meta["schemas"]) + 1
+            meta["schemas"][str(new_id)] = fields
+            meta["current_schema_id"] = new_id
+            meta["epochs"][epoch_id] = meta["current_snapshot_id"] or 0
+            return True
+
+        return self._commit(mutate)

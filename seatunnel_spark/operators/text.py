@@ -1,0 +1,80 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All JVM-side (codegen'd built-ins) — no Python in the hot path. Each has a
+DuckDB-expressible oracle (registered in __spark_entry__.oracle_sql) so the
+driver's correctness gate covers them.
+
+At 100 TB these are embarrassingly parallel narrow maps: they pipeline with
+the parquet scan, prune to the columns they read, and never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists per language for the n-gram heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "de"],
+}
+
+
+def token_count(df: DataFrame, col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic,
+    the common rule-of-thumb for byte-pair encoders)."""
+    return df.withColumn(
+        "n_tokens_ws",
+        F.size(F.split(F.trim(F.col(col)), r"\s+")),
+    ).withColumn(
+        "n_tokens_bpe_est",
+        F.ceil(F.length(F.col(col)) / F.lit(4.0)).cast("bigint"),
+    )
+
+
+def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristics (the standard
+    C4/Gopher-style filters, re-expressed as codegen'd expressions)."""
+    length = F.length(F.col(col))
+    words = F.split(F.trim(F.col(col)), r"\s+")
+    n_words = F.size(words)
+    n_punct = length - F.length(F.regexp_replace(F.col(col), r"[.,;:!?]", ""))
+    n_stop = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*_LANG_MARKERS["en"]))
+    )
+    mean_word_len = (length - n_words + 1) / n_words
+    return (
+        df.withColumn("n_chars_q", length.cast("bigint"))
+        .withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("punct_ratio", F.round(n_punct / length, 6))
+        .withColumn("stopword_ratio", F.round(n_stop / n_words, 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn(
+            "quality_ok",
+            (length >= 50) & (n_words >= 10) & (n_punct / length < 0.3),
+        )
+    )
+
+
+def lang_id(df: DataFrame, col: str = "text") -> DataFrame:
+    """Marker-word language ID: score each language by stopword hits, pick
+    the argmax (deterministic tie-break by language code)."""
+    words = F.split(F.lower(F.col(col)), r"\s+")
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        hits = F.size(F.filter(words, lambda w: w.isin(*markers)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown")),
+    )
+
+
+def fingerprint(df: DataFrame, col: str = "text", out: str = "fp") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized text — a
+    deterministic rolling-hash stand-in that DuckDB reproduces bit-for-bit."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    return df.withColumn(out, F.md5(normalized))

@@ -1,0 +1,136 @@
+"""Schemas and type lattice for the CDC engine.
+
+Reference mapping (SeaTunnel → Spark):
+- ``SeaTunnelRow`` (Object[] + tableId + RowKind) → a DataFrame row with
+  explicit ``op`` (RowKind) and ``seq`` (log offset) metadata columns.
+  Reference: seatunnel-api/.../table/type/SeaTunnelRow.java:27-74.
+- ``RowKind`` INSERT/+I, UPDATE_AFTER/+U, DELETE/-D → op ∈ {'I','U','D'}.
+  UPDATE_BEFORE is never materialized because our MERGE is keyed
+  (reference RowKind.java:26-47; the reference's own sink dedup also drops
+  UPDATE_BEFORE — BufferReducedBatchStatementExecutor.java:56-58).
+- ``SqlType`` lattice → Spark types, the same mapping the reference ships in
+  seatunnel-translation-spark-common TypeConverterUtils.java:55-123.
+- ``SchemaChangeEvent`` (AlterTableAdd/Change/ModifyColumnEvent) → a DDL
+  event row whose ``ddl`` column is a JSON document.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- RowKind
+OP_INSERT = "I"
+OP_UPDATE = "U"
+OP_DELETE = "D"
+OP_DDL = "DDL"
+
+# -------------------------------------------------- SqlType → Spark types
+# Reference: seatunnel-api SqlType.java:21-38 and
+# seatunnel-translation-spark-common TypeConverterUtils.java:55-123
+# (TIME is unsupported on Spark there too — maps to string here).
+SQLTYPE_TO_SPARK: dict[str, T.DataType] = {
+    "STRING": T.StringType(),
+    "BOOLEAN": T.BooleanType(),
+    "TINYINT": T.ByteType(),
+    "SMALLINT": T.ShortType(),
+    "INT": T.IntegerType(),
+    "BIGINT": T.LongType(),
+    "FLOAT": T.FloatType(),
+    "DOUBLE": T.DoubleType(),
+    "NULL": T.NullType(),
+    "BYTES": T.BinaryType(),
+    "DATE": T.DateType(),
+    "TIME": T.StringType(),
+    "TIMESTAMP": T.TimestampType(),
+}
+
+# Type-widening lattice used by widen_type DDL (only widenings that parquet
+# readers can satisfy with a cast are legal — same rule Iceberg enforces).
+LEGAL_WIDENINGS: set[tuple[str, str]] = {
+    ("int", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("float", "double"),
+}
+
+# ------------------------------------------------------- table schemas
+# The BASELINE input shape: an Iceberg table of source-code repositories.
+REPO_KEY = ["repo", "path"]
+
+REPO_FIELDS: list[tuple[str, str]] = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+]
+
+
+def repo_schema() -> T.StructType:
+    return T.StructType(
+        [T.StructField(n, T.StringType(), n not in ("repo", "path")) for n, _ in REPO_FIELDS]
+    )
+
+
+def event_schema() -> T.StructType:
+    """Change-event stream schema (binlog/WAL shape, FIXTURES.md §2).
+
+    ``extra`` carries post-DDL column values as a JSON map so the wire schema
+    of the stream never changes even as the target table evolves — the
+    superset-struct strategy from SURVEY §1.2.
+    """
+    return T.StructType(
+        [
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("txn_id", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("repo", T.StringType(), True),
+            T.StructField("path", T.StringType(), True),
+            T.StructField("commit", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("ddl", T.StringType(), True),
+            T.StructField("extra", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+
+
+# --------------------------------------------------- schema-change events
+@dataclass(frozen=True)
+class SchemaChange:
+    """Parsed DDL event.
+
+    kind ∈ {add_column, rename_column, widen_type, drop_column}.
+    Reference: seatunnel-api table/event/AlterTable{Add,Change,Modify,Drop}
+    ColumnEvent.java, applied by AlterTableEventHandler.java:53-163.
+    """
+
+    kind: str
+    name: str | None = None
+    type: str | None = None
+    old_name: str | None = None
+
+    @staticmethod
+    def from_json(payload: str) -> "SchemaChange":
+        d = json.loads(payload)
+        return SchemaChange(
+            kind=d["kind"],
+            name=d.get("name"),
+            type=d.get("type"),
+            old_name=d.get("old_name"),
+        )
+
+    def to_json(self) -> str:
+        d = {"kind": self.kind}
+        for k in ("name", "type", "old_name"):
+            v = getattr(self, k)
+            if v is not None:
+                d[k] = v
+        return json.dumps(d, sort_keys=True)

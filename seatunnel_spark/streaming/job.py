@@ -1,0 +1,246 @@
+"""The CDC ingest job: snapshot → incremental, exactly-once, DDL-aligned.
+
+Orchestration mirrors the reference's hybrid source state machine
+(IncrementalSource.java:195-232 → HybridSplitAssigner: snapshot splits, then
+one incremental split starting at the recorded watermarks), re-expressed as:
+
+  phase A  one declarative batch job (operators/snapshot.py), committing the
+           normalized initial state + per-chunk fences atomically;
+  phase B  Structured Streaming over the event log with ``foreachBatch``:
+           fence filter (shouldEmit, IncrementalSourceStreamFetcher:273-303)
+           → split the micro-batch at DDL offsets into ordered
+           sub-transactions (splitSchemaChangeStream:152-236, checkpoint
+           types SCHEMA_CHANGE_BEFORE/AFTER, CheckpointType.java:23-35)
+           → per segment: LWW reduce + MERGE commit with a deterministic
+           epoch id ``b{batch}.s{segment}`` → DDL applied as its own
+           metadata commit ``b{batch}.d{seq}``.
+
+Exactly-once: Structured Streaming replays an unacknowledged micro-batch
+with the same batch_id after restart; segmentation is a pure function of the
+batch contents, so every sub-transaction re-derives the same epoch id and
+the lake's epoch ledger skips the ones already applied — SeaTunnel's
+checkpoint-ack + SinkAggregatedCommitter contract
+(CheckpointCoordinator.java:687-741, SinkFlowLifeCycle.java:155-241) without
+a coordinator process.
+
+Lineage + metrics (BASELINE requirement; reference metric names
+MetricNames.java:28-32, CDCRecordFetchDelay/EmitDelay
+IncrementalSourceRecordEmitter.java:59-60) are appended per batch:
+per-partition source offset ranges + applied txn ids, and
+events/sec + lag.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seatunnel_spark.lake.merge import merge_into
+from seatunnel_spark.lake.table import LakeTable
+from seatunnel_spark.operators.snapshot import (
+    default_fences,
+    fence_map_expr,
+    run_snapshot_phase,
+)
+from seatunnel_spark.schema import OP_DDL, SchemaChange, event_schema
+
+
+def project_to_table_schema(table: LakeTable, events: DataFrame) -> DataFrame:
+    """Project wire-format events onto the table's *current* schema.
+
+    The stream's wire schema never changes (post-DDL fields ride in the
+    ``extra`` JSON map — SURVEY §1.2 superset-struct strategy). Columns bind
+    by **column id** via the table's wire_bindings, so a renamed table column
+    keeps receiving its original wire field — the same id-based binding
+    Iceberg uses for files, applied to the stream.
+    """
+    id_to_wire = {v: k for k, v in table.meta["wire_bindings"].items()}
+    wire_cols = set(events.columns)
+    cols = []
+    for f in table.schema_fields():
+        wname = id_to_wire.get(f["id"])
+        if wname and wname in wire_cols:
+            cols.append(F.col(wname).cast(f["type"]).alias(f["name"]))
+        elif wname and "extra" in wire_cols:
+            cols.append(
+                F.get_json_object(F.col("extra"), f"$.{wname}").cast(f["type"]).alias(f["name"])
+            )
+        else:
+            cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+    return events.select(*cols, "op", "seq")
+
+
+class CdcIngestJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_root: str,
+        events_dir: str,
+        checkpoint_dir: str,
+        num_buckets: int = 16,
+        max_files_per_trigger: int = 2,
+        total_events: int | None = None,
+        exactly_once: bool = True,
+    ):
+        self.spark = spark
+        self.table_root = table_root
+        self.events_dir = events_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.num_buckets = num_buckets
+        self.max_files_per_trigger = max_files_per_trigger
+        self.total_events = total_events
+        self.exactly_once = exactly_once
+        self.lineage_dir = os.path.join(table_root, "lineage")
+        self.metrics_dir = os.path.join(table_root, "metrics")
+        self._events_applied = 0
+
+    # ------------------------------------------------------------ phase A
+    def ensure_snapshot(
+        self,
+        base: DataFrame,
+        events: DataFrame,
+        fields: list[tuple[str, str]],
+        key: list[str],
+        max_fence: int = 0,
+        fences: dict[int, int] | None = None,
+    ) -> LakeTable:
+        if LakeTable.exists(self.table_root):
+            table = LakeTable.load(self.table_root)
+        else:
+            table = LakeTable.create(self.table_root, fields, key, self.num_buckets)
+        fences = fences or default_fences(self.num_buckets, max_fence)
+        t0 = time.time()
+        stats = run_snapshot_phase(self.spark, table, base, events, fences)
+        if not stats.get("skipped"):
+            self._write_lineage_snapshot(table, fences)
+            self._write_metrics(
+                batch_id=-1,
+                phase="snapshot",
+                events_applied=stats.get("batch_rows", 0),
+                wall_ms=int((time.time() - t0) * 1000),
+            )
+        return table
+
+    # ------------------------------------------------------------ phase B
+    def run_incremental(self, available_now: bool = True, timeout_s: float | None = None):
+        """Tail the event log from the snapshot fences (min-high start, per
+        reference IncrementalSplitAssigner.createIncrementalSplit:198-257)."""
+        stream = (
+            self.spark.readStream.schema(event_schema())
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.events_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName("cdc-ingest")
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination(timeout_s)
+            if q.isActive:
+                q.stop()
+            if q.exception() is not None:
+                raise q.exception()
+            return q
+        return writer.start()
+
+    # ------------------------------------------------------- foreachBatch
+    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        table = LakeTable.load(self.table_root)
+        fences = {int(b): int(w) for b, w in table.meta["properties"].get("fences", {}).items()}
+        batch = batch.persist()
+        try:
+            # --- shouldEmit fence (fast path: seq >= max fence emits always;
+            # the map lookup below subsumes it because fences are literals)
+            if fences and self.exactly_once:
+                dml = batch.where(F.col("op") != OP_DDL)
+                dml = (
+                    dml.withColumn("bucket", table.bucket_expr())
+                    .where(F.col("seq") >= fence_map_expr(fences)[F.col("bucket")])
+                    .drop("bucket")
+                )
+            else:
+                dml = batch.where(F.col("op") != OP_DDL)
+
+            # --- DDL-offset segmentation (tiny collect: DDLs are rare)
+            ddls = sorted(
+                (r["seq"], r["ddl"])
+                for r in batch.where(F.col("op") == OP_DDL).select("seq", "ddl").collect()
+            )
+            seg = F.lit(0)
+            for s, _ in ddls:
+                seg = seg + (F.col("seq") > s).cast("int")
+            dml = dml.withColumn("_seg", seg).persist()
+            seg_counts = {r["_seg"]: r["n"] for r in dml.groupBy("_seg").agg(F.count("*").alias("n")).collect()}
+
+            applied = 0
+            for i in range(len(ddls) + 1):
+                if seg_counts.get(i, 0) > 0:
+                    segment = dml.where(F.col("_seg") == i).drop("_seg")
+                    projected = project_to_table_schema(table, segment)
+                    merge_into(self.spark, table, projected, epoch_id=f"b{batch_id}.s{i}")
+                    applied += seg_counts[i]
+                if i < len(ddls):
+                    s, payload = ddls[i]
+                    table.update_schema(SchemaChange.from_json(payload), epoch_id=f"b{batch_id}.d{s}")
+                    applied += 1
+
+            # --- lineage: per-partition offset ranges + applied txn ids
+            lineage = (
+                dml.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.min("seq").alias("seq_min"),
+                    F.max("seq").alias("seq_max"),
+                    F.collect_set("txn_id").alias("txn_ids"),
+                    F.count("*").alias("n_events"),
+                )
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .withColumn("committed_at", F.current_timestamp())
+            )
+            lineage.write.mode("append").parquet(self.lineage_dir)
+
+            self._events_applied += applied
+            self._write_metrics(
+                batch_id=batch_id,
+                phase="incremental",
+                events_applied=applied,
+                wall_ms=int((time.time() - t0) * 1000),
+            )
+        finally:
+            batch.unpersist()
+            try:
+                dml.unpersist()
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------ side tables
+    def _write_lineage_snapshot(self, table: LakeTable, fences: dict[int, int]) -> None:
+        rows = [
+            (-1, int(b), -1, int(w) - 1, [], 0)
+            for b, w in fences.items()
+        ]
+        df = self.spark.createDataFrame(
+            rows, "batch_id long, partition_id int, seq_min long, seq_max long, txn_ids array<long>, n_events long"
+        ).withColumn("committed_at", F.current_timestamp())
+        df.select(
+            "partition_id", "seq_min", "seq_max", "txn_ids", "n_events", "batch_id", "committed_at"
+        ).write.mode("append").parquet(self.lineage_dir)
+
+    def _write_metrics(self, batch_id: int, phase: str, events_applied: int, wall_ms: int) -> None:
+        lag = (
+            self.total_events - self._events_applied
+            if (self.total_events is not None and phase == "incremental")
+            else None
+        )
+        rate = events_applied / (wall_ms / 1000.0) if wall_ms > 0 else None
+        df = self.spark.createDataFrame(
+            [(batch_id, events_applied, rate, lag, wall_ms, phase)],
+            "batch_id long, events_applied long, events_per_sec double, lag_events long, wall_ms long, phase string",
+        )
+        df.write.mode("append").parquet(self.metrics_dir)

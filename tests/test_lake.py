@@ -1,0 +1,123 @@
+"""Unit tests for the lake layer: atomic commits, epoch idempotence,
+column-ID schema evolution, bucket-pruned COW merge."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from seatunnel_spark.lake import LakeTable, merge_into
+from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, SchemaChange
+
+ROWS1 = [
+    ("o/r1", "a.py", "c1", "py", "print(1)", "I", 0),
+    ("o/r1", "b.py", "c2", "py", "print(2)", "I", 1),
+    ("o/r2", "c.go", "c3", "go", "fmt", "I", 2),
+]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string, op string, seq long"
+    )
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return LakeTable.create(str(tmp_path / "t"), REPO_FIELDS, REPO_KEY, num_buckets=4)
+
+
+def test_merge_insert_then_upsert_delete(spark, table):
+    merge_into(spark, table, _batch(spark, ROWS1), "e1")
+    assert {r["path"] for r in table.scan(spark).collect()} == {"a.py", "b.py", "c.go"}
+
+    rows2 = [
+        ("o/r1", "a.py", "c9", "py", "print(9)", "U", 10),
+        ("o/r1", "b.py", None, None, None, "D", 11),
+        ("o/r3", "d.rs", "c4", "rs", "fn main", "I", 12),
+    ]
+    merge_into(spark, table, _batch(spark, rows2), "e2")
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert set(got) == {"a.py", "c.go", "d.rs"}
+    assert got["a.py"]["content"] == "print(9)"
+
+
+def test_intra_batch_lww_and_delete_reinsert(spark, table):
+    rows = [
+        ("o/r1", "a.py", "c1", "py", "v1", "I", 0),
+        ("o/r1", "a.py", "c2", "py", "v2", "U", 5),
+        ("o/r1", "a.py", None, None, None, "D", 6),
+        ("o/r1", "a.py", "c3", "py", "v3", "I", 7),  # delete-then-reinsert
+        ("o/r2", "b.py", "c4", "py", "x", "I", 8),
+        ("o/r2", "b.py", None, None, None, "D", 9),  # last op wins → gone
+    ]
+    merge_into(spark, table, _batch(spark, rows), "e1")
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert set(got) == {"a.py"}
+    assert got["a.py"]["content"] == "v3"
+
+
+def test_epoch_idempotence(spark, table):
+    merge_into(spark, table, _batch(spark, ROWS1), "e1")
+    v1 = table.version
+    res = merge_into(spark, table, _batch(spark, ROWS1), "e1")  # replay
+    assert res["skipped"] is True
+    assert table.version == v1
+    assert table.scan(spark).count() == 3
+
+
+def test_bucket_pruning_cow(spark, table):
+    merge_into(spark, table, _batch(spark, ROWS1), "e1")
+    snap1 = table.current_snapshot()
+    # touch one key only → only its bucket should be rewritten
+    merge_into(
+        spark, table, _batch(spark, [("o/r1", "a.py", "cX", "py", "new", "U", 99)]), "e2"
+    )
+    snap2 = table.current_snapshot()
+    changed = [
+        b for b in snap2["bucket_files"]
+        if snap2["bucket_files"][b] != snap1["bucket_files"].get(b, [])
+    ]
+    assert len(changed) == 1
+    assert snap2["summary"]["buckets_rewritten"] == 1
+    # untouched buckets carried over by reference (no rewrite)
+    untouched = set(snap1["bucket_files"]) - set(changed)
+    for b in untouched:
+        assert snap2["bucket_files"][b] == snap1["bucket_files"][b]
+
+
+def test_schema_evolution_add_rename_widen(spark, table):
+    merge_into(spark, table, _batch(spark, ROWS1), "e1")
+    table.update_schema(SchemaChange(kind="add_column", name="stars", type="int"), "d1")
+    # old files read with null-filled new column
+    assert table.scan(spark).where(F.col("stars").isNull()).count() == 3
+
+    # new data written post-DDL includes stars
+    b = spark.createDataFrame(
+        [("o/r9", "z.py", "c", "py", "zz", 7, "I", 50)],
+        "repo string, path string, commit string, lang string, content string, stars int, op string, seq long",
+    )
+    merge_into(spark, table, b, "e2")
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert got["z.py"]["stars"] == 7 and got["a.py"]["stars"] is None
+
+    # rename: data files still carry the old name; scan aligns by column id
+    table.update_schema(
+        SchemaChange(kind="rename_column", old_name="commit", name="commit_sha"), "d2"
+    )
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert got["a.py"]["commit_sha"] == "c1"
+
+    # widen int → bigint: old int files cast at read
+    table.update_schema(SchemaChange(kind="widen_type", name="stars", type="bigint"), "d3")
+    assert dict(table.scan(spark).dtypes)["stars"] == "bigint"
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert got["z.py"]["stars"] == 7
+
+    # DDL idempotence
+    v = table.version
+    assert table.update_schema(SchemaChange(kind="widen_type", name="stars", type="bigint"), "d3") is False
+    assert table.version == v
+
+
+def test_illegal_widening_rejected(spark, table):
+    with pytest.raises(ValueError):
+        table.update_schema(SchemaChange(kind="widen_type", name="repo", type="int"), "dx")
