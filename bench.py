@@ -1,0 +1,161 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Two parts:
+1. CDC replay throughput (the BASELINE metric): seeded fixture → snapshot
+   phase → incremental streaming replay into the lake table → events/sec,
+   with sha256 final-state verification against a one-shot batch LWW
+   reduction computed independently (engine vs algebraic oracle, both Spark).
+2. Headline analytics/operator queries at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+All logging goes to stderr; stdout is exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CDC_BASE = int(os.environ.get("BENCH_CDC_BASE", "50000"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "200000"))
+CACHE = os.environ.get("BENCH_CACHE", "/root/repo/.cache")
+
+HEADLINE = [
+    "k5_lww_dedup",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_revenue_by_nation",
+    "w_events_hourly",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "text_token_count",
+    "text_quality_score",
+    "ann_cosine_topk",
+    "udf_sha256",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_cdc_replay(spark) -> dict:
+    from seatunnel_spark.lake import LakeTable
+    from seatunnel_spark.operators.dedup import lww_dedup_agg
+    from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, event_schema
+    from seatunnel_spark.sources import generator as gen
+    from seatunnel_spark.streaming.job import CdcIngestJob, project_to_table_schema
+
+    fx_dir = os.path.join(CACHE, f"cdc_{CDC_BASE}_{CDC_EVENTS}")
+    t0 = time.time()
+    paths = gen.write_fixture(fx_dir, CDC_BASE, CDC_EVENTS, seed=42, n_event_files=16)
+    log(f"fixture ready in {time.time()-t0:.1f}s")
+
+    work = os.path.join(CACHE, "bench_run")
+    shutil.rmtree(work, ignore_errors=True)
+    job = CdcIngestJob(
+        spark,
+        table_root=os.path.join(work, "table"),
+        events_dir=paths["events"],
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        num_buckets=32,
+        max_files_per_trigger=4,
+        total_events=CDC_EVENTS,
+    )
+    base_df = spark.read.parquet(paths["base"])
+    events_df = spark.read.schema(event_schema()).parquet(paths["events"])
+
+    t0 = time.time()
+    job.ensure_snapshot(base_df, events_df, REPO_FIELDS, REPO_KEY, max_fence=CDC_EVENTS // 20)
+    snap_s = time.time() - t0
+    t0 = time.time()
+    job.run_incremental(available_now=True, timeout_s=3600)
+    inc_s = time.time() - t0
+    wall = snap_s + inc_s
+
+    # verification: engine final state vs one-shot algebraic LWW over base∪log
+    table = LakeTable.load(os.path.join(work, "table"))
+    final = table.scan(spark)
+    got = final.agg(
+        F.count("*").alias("n"),
+        F.sum(F.conv(F.substring(F.sha2(F.col("content"), 256), 1, 10), 16, 10).cast("bigint")).alias("h"),
+    ).collect()[0]
+
+    t = LakeTable.load(os.path.join(work, "table"))
+    base_rows = (
+        base_df.withColumn("op", F.lit("I")).withColumn("seq", F.lit(-1).cast("long"))
+    )
+    ref_events = project_to_table_schema(t, events_df.where(F.col("op") != "DDL"))
+    base_proj = project_to_table_schema(
+        t,
+        base_rows.withColumn("ddl", F.lit(None).cast("string")).withColumn(
+            "extra", F.lit(None).cast("string")
+        ),
+    )
+    ref = (
+        lww_dedup_agg(base_proj.unionByName(ref_events), REPO_KEY, "seq")
+        .where(F.col("op") != "D")
+    )
+    exp = ref.agg(
+        F.count("*").alias("n"),
+        F.sum(F.conv(F.substring(F.sha2(F.col("content"), 256), 1, 10), 16, 10).cast("bigint")).alias("h"),
+    ).collect()[0]
+    verified = (got["n"] == exp["n"]) and (got["h"] == exp["h"])
+    log(
+        f"cdc replay: {CDC_EVENTS} events in {wall:.1f}s "
+        f"(snapshot {snap_s:.1f}s + incremental {inc_s:.1f}s), "
+        f"rows {got['n']} vs {exp['n']}, verified={verified}"
+    )
+    return {
+        "events_total": CDC_EVENTS,
+        "wall_s": round(wall, 2),
+        "snapshot_s": round(snap_s, 2),
+        "incremental_s": round(inc_s, 2),
+        "events_per_sec": round(CDC_EVENTS / wall, 1),
+        "sha256_verified": bool(verified),
+    }
+
+
+def main() -> None:
+    from seatunnel_spark.entry_queries import QUERIES
+    from seatunnel_spark.session import get_spark
+
+    os.makedirs(CACHE, exist_ok=True)
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+    cdc = run_cdc_replay(spark)
+
+    q_times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        q_times[name] = round(time.time() - t0, 3)
+        log(f"{name}: {q_times[name]}s ({n} rows)")
+
+    total = round(sum(q_times.values()) + cdc["wall_s"], 2)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "cdc_replay_plus_headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": q_times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc": cdc,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,823 @@
+"""Driver-facing query registry: each entry pairs a Spark DataFrame query
+with a DuckDB-equivalent ANSI SQL oracle over the same parquet tables.
+
+Naming maps to SURVEY.md §2 operator ids (s2/s4/s6/s8/s11 CDC source ops,
+k5/k6 sink ops, t_* transforms, f_* Zeta functions, plus the training-data
+operator suite). Every computed column is aliased identically on both sides
+(the driver hashes values after sorting columns by name).
+
+Numeric hygiene: double aggregates are rounded (2dp money, 6dp ratios) so
+JVM vs DuckDB summation order can't flip the value hash; ranks order by raw
+values and only the output is rounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seatunnel_spark.operators import dedup_docs, text, transforms
+from seatunnel_spark.operators.dedup import lww_dedup
+from seatunnel_spark.operators.similarity import _dot, brute_force_topk, cosine
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _reg(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    """2dp money → exact integer cents (the source data is 2dp, so the
+    rounded double is within 1e-9 of an integer on both engines)."""
+    return F.round(col * 100, 0).cast("bigint")
+
+
+def _dsum(col) -> F.Column:
+    """Order-independent money sum: exact integer-cent accumulation —
+    JVM vs DuckDB summation order can never flip the value hash."""
+    return F.sum(_cents(col)) / 100.0
+
+
+def _osum(expr: str) -> str:
+    """DuckDB twin of _dsum."""
+    return f"(sum(CAST(round(({expr}) * 100, 0) AS BIGINT)) / 100.0)"
+
+
+def _idiv(a: F.Column, b) -> F.Column:
+    """Exact integer division for non-negative longs (no double rounding):
+    (a - a % b) is an exact multiple of b, so the double division is exact."""
+    b = b if isinstance(b, F.Column) else F.lit(b)
+    return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+
+def _drev(price_col, disc_col) -> F.Column:
+    """Exact revenue sum rounded half-up to cents IN INTEGER SPACE, then one
+    deterministic double division — engines can't disagree on the last cent."""
+    raw = F.sum(_cents(price_col) * (100 - _cents(disc_col)))  # unit: 1e-4 $
+    return _idiv(raw + 50, 100) / 100.0
+
+
+def _orev(price: str, disc: str) -> str:
+    raw = (
+        f"sum(CAST(round({price} * 100, 0) AS BIGINT) * "
+        f"(100 - CAST(round({disc} * 100, 0) AS BIGINT)))"
+    )
+    return f"((({raw} + 50) // 100) / 100.0)"
+
+
+# =====================================================================
+# CDC source / sink operator semantics (SURVEY §2.1, §2.2) over `events`
+# =====================================================================
+
+@_reg(
+    "k5_lww_dedup",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def k5_lww_dedup(spark, sf_dir):
+    """Last-writer-wins key dedup (BufferReducedBatchStatementExecutor.java:42-106)."""
+    ev = _t(spark, sf_dir, "events")
+    return lww_dedup(ev, ["user_id"], "event_id").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@_reg(
+    "s11_changelog_routing",
+    """
+    SELECT CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error'  THEN 'D' ELSE 'U' END AS op,
+           count(*) AS n_events, round({OSUM_VALUE}, 2) AS total_value
+    FROM events GROUP BY 1
+    """.replace("{OSUM_VALUE}", _osum("value")),
+)
+def s11_changelog_routing(spark, sf_dir):
+    """Envelope → RowKind routing (SeaTunnelRowDebeziumDeserializeSchema:159-198)."""
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    return (
+        ev.withColumn("op", op)
+        .groupBy("op")
+        .agg(F.count("*").alias("n_events"), F.round(_dsum(F.col("value")), 2).alias("total_value"))
+    )
+
+
+@_reg(
+    "s2_chunk_split_even",
+    """
+    SELECT CAST(floor(event_id / 8096) AS BIGINT) AS chunk_id,
+           count(*) AS n_rows, min(event_id) AS lo, max(event_id) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def s2_chunk_split_even(spark, sf_dir):
+    """Evenly-sized chunk splitting by key range, default 8096 rows/split
+    (AbstractJdbcSourceChunkSplitter.splitEvenlySizedChunks:275-309)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("chunk_id", F.floor(F.col("event_id") / 8096).cast("bigint"))
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
+        )
+    )
+
+
+@_reg(
+    "s4_sample_sharding",
+    """
+    SELECT shard, count(*) AS n_rows, min(user_id) AS key_lo, max(user_id) AS key_hi
+    FROM (SELECT user_id, ntile(16) OVER (ORDER BY user_id, event_id) AS shard
+          FROM events) GROUP BY shard
+    """,
+)
+def s4_sample_sharding(spark, sf_dir):
+    """Equi-depth shard boundaries (efficientShardingThroughSampling:233-269) —
+    ntile = the exact form; production uses repartitionByRange/approxQuantile."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("user_id", "event_id")
+    return (
+        ev.select("user_id", F.ntile(16).over(w).alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("user_id").alias("key_lo"),
+            F.max("user_id").alias("key_hi"),
+        )
+    )
+
+
+@_reg(
+    "s6_snapshot_normalization",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events WHERE event_id < 800) WHERE rn = 1
+    """,
+)
+def s6_snapshot_normalization(spark, sf_dir):
+    """Snapshot chunk normalization: fold in-window changes into the chunk
+    buffer (rewriteOutputBuffer:80-117). Built compositionally — snapshot at
+    LOW=600 then merge window [600,800) — and must equal the oracle's direct
+    LWW at 800, proving the low/high fold is associative."""
+    ev = _t(spark, sf_dir, "events")
+    snap = lww_dedup(ev.where(F.col("event_id") < 600), ["user_id"], "event_id")
+    window = ev.where((F.col("event_id") >= 600) & (F.col("event_id") < 800))
+    merged = lww_dedup(snap.unionByName(window), ["user_id"], "event_id")
+    return merged.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+@_reg(
+    "s8_should_emit_fence",
+    """
+    SELECT user_id % 8 AS chunk, count(*) AS n_emitted, min(event_id) AS first_emitted
+    FROM events WHERE event_id >= 200 + 50 * (user_id % 8)
+    GROUP BY 1
+    """,
+)
+def s8_should_emit_fence(spark, sf_dir):
+    """Stream-read reconciliation fence: emit only events past the chunk's
+    high watermark (IncrementalSourceStreamFetcher.shouldEmit:273-303)."""
+    ev = _t(spark, sf_dir, "events")
+    chunk = F.col("user_id") % 8
+    fence = F.lit(200) + F.lit(50) * chunk
+    return (
+        ev.where(F.col("event_id") >= fence)
+        .groupBy(chunk.alias("chunk"))
+        .agg(F.count("*").alias("n_emitted"), F.min("event_id").alias("first_emitted"))
+    )
+
+
+@_reg(
+    "c6_salted_two_stage_agg",
+    f"""
+    SELECT user_id, count(*) AS n_events, round({_osum('value')}, 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def c6_salted_two_stage_agg(spark, sf_dir):
+    """Hot-key salting: partial agg on (key, salt) then re-agg on key — the
+    skew-breaking shuffle shape (reference ShuffleMultipleRowStrategy:46-99 +
+    SURVEY §4 salting requirement). Result must equal the direct group-by."""
+    ev = _t(spark, sf_dir, "events")
+    partial = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(8))).groupBy(
+        "user_id", "_salt"
+    ).agg(
+        F.count("*").alias("pn"),
+        F.sum(_cents(F.col("value"))).alias("pv"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.round(F.sum("pv") / 100.0, 2).alias("total_value"),
+    )
+
+
+@_reg(
+    "k6_upsert_final_state",
+    """
+    SELECT user_id, last_type, last_value
+    FROM (SELECT user_id, event_type AS last_type, value AS last_value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+          FROM events) WHERE rn = 1 AND last_type <> 'error'
+    """,
+)
+def k6_upsert_final_state(spark, sf_dir):
+    """MERGE routing: I/U upsert, D delete (MysqlDialect.java:55-71) —
+    final state after replay treating 'error' as the delete op."""
+    ev = _t(spark, sf_dir, "events")
+    last = lww_dedup(ev, ["user_id"], "event_id")
+    return last.where(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# =====================================================================
+# Transforms (SURVEY §2.4) over `documents` / `events`
+# =====================================================================
+
+@_reg(
+    "t_sql_transform",
+    """
+    SELECT doc_id, upper(lang) AS lang_u, n_chars * 2 AS n2
+    FROM documents WHERE n_chars > 400
+    """,
+)
+def t_sql_transform(spark, sf_dir):
+    """Zeta SQL transform subset (ZetaSQLEngine.validateSQL:99-157)."""
+    docs = _t(spark, sf_dir, "documents")
+    return transforms.sql_transform(
+        docs, ["doc_id", "upper(lang) AS lang_u", "n_chars * 2 AS n2"], "n_chars > 400"
+    )
+
+
+@_reg(
+    "t_split",
+    """
+    SELECT doc_id, string_split(text, ' ')[1] AS w0, string_split(text, ' ')[2] AS w1,
+           string_split(text, ' ')[3] AS w2
+    FROM documents
+    """,
+)
+def t_split(spark, sf_dir):
+    """SplitTransform: split a field into N output fields."""
+    docs = _t(spark, sf_dir, "documents")
+    return transforms.split_field(docs, "text", " ", ["w0", "w1", "w2"]).select(
+        "doc_id", "w0", "w1", "w2"
+    )
+
+
+@_reg(
+    "t_replace",
+    """
+    SELECT doc_id, regexp_replace(text, '[aeiou]', '*', 'g') AS text_replaced
+    FROM documents
+    """,
+)
+def t_replace(spark, sf_dir):
+    """ReplaceTransform (regex mode)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = transforms.replace_field(docs, "text", "[aeiou]", "*", is_regex=True)
+    return out.select("doc_id", F.col("text").alias("text_replaced"))
+
+
+@_reg(
+    "t_fieldmapper",
+    "SELECT doc_id AS id, lang AS language, n_chars AS size FROM documents",
+)
+def t_fieldmapper(spark, sf_dir):
+    """FieldMapperTransform: rename/reorder."""
+    docs = _t(spark, sf_dir, "documents")
+    return transforms.field_mapper(
+        docs, {"doc_id": "id", "lang": "language", "n_chars": "size"}
+    )
+
+
+@_reg(
+    "t_copy",
+    "SELECT doc_id, n_chars, n_chars AS n_chars_copy FROM documents",
+)
+def t_copy(spark, sf_dir):
+    """CopyFieldTransform."""
+    docs = _t(spark, sf_dir, "documents")
+    return transforms.copy_fields(docs, {"n_chars": "n_chars_copy"}).select(
+        "doc_id", "n_chars", "n_chars_copy"
+    )
+
+
+@_reg(
+    "t_filterrowkind",
+    """
+    SELECT event_id, event_type FROM events WHERE event_type NOT IN ('error', 'view')
+    """,
+)
+def t_filterrowkind(spark, sf_dir):
+    """FilterRowKindTransform: exclude rows by kind (e.g. drop deletes)."""
+    ev = _t(spark, sf_dir, "events")
+    return transforms.filter_row_kind(ev, exclude=["error", "view"], op_col="event_type").select(
+        "event_id", "event_type"
+    )
+
+
+# =====================================================================
+# Zeta scalar function library (SURVEY §2.4 function lib)
+# =====================================================================
+
+@_reg(
+    "f_string_funcs",
+    """
+    SELECT doc_id,
+           concat_ws('-', lang, source) AS tag,
+           upper(substring(text, 1, 10)) AS head,
+           lpad(lang, 5, '_') AS padded,
+           length(text) AS len,
+           translate(lang, 'en', 'EN') AS tr,
+           reverse(lang) AS rev,
+           ascii(substring(lang, 1, 1)) AS a0
+    FROM documents
+    """,
+)
+def f_string_funcs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws("-", "lang", "source").alias("tag"),
+        F.upper(F.substring("text", 1, 10)).alias("head"),
+        F.lpad("lang", 5, "_").alias("padded"),
+        F.length("text").cast("bigint").alias("len"),
+        F.translate("lang", "en", "EN").alias("tr"),
+        F.reverse("lang").alias("rev"),
+        F.ascii(F.substring("lang", 1, 1)).cast("int").alias("a0"),
+    )
+
+
+@_reg(
+    "f_datetime_funcs",
+    """
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+           date_trunc('day', ts) AS day_ts,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_s
+    FROM events
+    """,
+)
+def f_datetime_funcs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("m"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.unix_timestamp("ts").cast("bigint").alias("unix_s"),
+    )
+
+
+@_reg(
+    "f_math_funcs",
+    """
+    SELECT event_id,
+           abs(value - 100) AS av,
+           round(sqrt(value), 6) AS sq,
+           ceil(value)::BIGINT AS cl,
+           floor(value)::BIGINT AS fl,
+           CAST(round(value * 100, 0) AS BIGINT) % 7 AS md,
+           round(ln(value + 1), 6) AS lg,
+           sign(value - 100)::DOUBLE AS sg
+    FROM events
+    """,
+)
+def f_math_funcs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.abs(F.col("value") - 100).alias("av"),
+        F.round(F.sqrt("value"), 6).alias("sq"),
+        F.ceil("value").cast("bigint").alias("cl"),
+        F.floor("value").cast("bigint").alias("fl"),
+        (F.round(F.col("value") * 100, 0).cast("bigint") % 7).alias("md"),
+        F.round(F.log(F.col("value") + 1), 6).alias("lg"),
+        F.signum(F.col("value") - 100).cast("double").alias("sg"),
+    )
+
+
+@_reg(
+    "udf_sha256",
+    "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+)
+def udf_sha256(spark, sf_dir):
+    """The ZetaUDF surface as a vectorized pandas_udf (Arrow batches) —
+    the BASELINE per-row invariant function itself."""
+    from seatunnel_spark.functions.udfs import sha256_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", sha256_udf(F.col("text")).alias("text_sha"))
+
+
+# =====================================================================
+# Analytics / windowed aggregation (engine generality + bench heads)
+# =====================================================================
+
+@_reg(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round({SQ}, 2) AS sum_qty,
+           round({SBP}, 2) AS sum_base_price,
+           round({SDP}, 2) AS sum_disc_price,
+           ((({CQ} * 10000 + count(*) // 2) // count(*)) / 1000000.0) AS avg_qty,
+           ((({CD} * 10000 + count(*) // 2) // count(*)) / 1000000.0) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """.replace("{SQ}", _osum("l_quantity"))
+    .replace("{SBP}", _osum("l_extendedprice"))
+    .replace("{SDP}", _orev("l_extendedprice", "l_discount"))
+    .replace("{CQ}", "sum(CAST(round(l_quantity * 100, 0) AS BIGINT))")
+    .replace("{CD}", "sum(CAST(round(l_discount * 100, 0) AS BIGINT))"),
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cnt = F.count("*")
+
+    def avg6(cents_sum):  # half-up 6dp average in integer space
+        return _idiv(cents_sum * 10000 + _idiv(cnt, 2), cnt) / 1e6
+
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(_dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(_drev(F.col("l_extendedprice"), F.col("l_discount")), 2).alias(
+                "sum_disc_price"
+            ),
+            avg6(F.sum(_cents(F.col("l_quantity")))).alias("avg_qty"),
+            avg6(F.sum(_cents(F.col("l_discount")))).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@_reg(
+    "q3_order_revenue",
+    """
+    SELECT l_orderkey, o_orderdate, round({REV}, 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    """.replace("{REV}", _orev("l_extendedprice", "l_discount")),
+)
+def q3_order_revenue(spark, sf_dir):
+    """Broadcast-friendly star join: customer (small, filtered) is broadcast
+    into orders×lineitem — the plan Catalyst should pick; verified in bench."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                _drev(F.col("l_extendedprice"), F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_reg(
+    "q5_revenue_by_nation",
+    """
+    SELECT n_name, round({REV}, 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """.replace("{REV}", _orev("l_extendedprice", "l_discount")),
+)
+def q5_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                _drev(F.col("l_extendedprice"), F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_reg(
+    "w_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           count(*) AS n, round({TV}, 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """.replace("{TV}", _osum("value")),
+)
+def w_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the streaming hourly agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(_dsum(F.col("value")), 2).alias("total_value"))
+
+
+# =====================================================================
+# Training-data pipeline operators over `documents` / `embeddings`
+# =====================================================================
+
+# DuckDB fragment: normalized word list of `text`
+_DW = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+# DuckDB fragment: 3-word shingles of `text` (matches dedup_docs._shingles)
+_DSH = (
+    f"[array_to_string(list_slice({_DW}, i, i + 2), ' ') "
+    f"FOR i IN range(1, greatest(len({_DW}) - 2, 1) + 1)]"
+)
+
+
+def _dh48(expr: str, salt) -> str:
+    """DuckDB twin of dedup_docs._h48: 48-bit md5-prefix hash."""
+    return f"('0x' || substr(md5('{salt}|' || {expr}), 1, 12))::BIGINT"
+
+
+@_reg(
+    "dedup_exact",
+    """
+    WITH fp AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents)
+    SELECT f.doc_id, g.canonical_id, g.group_size
+    FROM fp f JOIN (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+                    FROM fp GROUP BY fp) g USING (fp)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: fingerprint → hash groupBy; shuffle carries only the
+    32-char digest, never the document body."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_docs.exact_dedup(docs)
+
+
+@_reg(
+    "dedup_minhash_signatures",
+    f"""
+    SELECT doc_id,
+           list_min([{_dh48('s', 0)} FOR s IN {_DSH}]) AS mh0,
+           list_min([{_dh48('s', 1)} FOR s IN {_DSH}]) AS mh1,
+           list_min([{_dh48('s', 2)} FOR s IN {_DSH}]) AS mh2,
+           list_min([{_dh48('s', 3)} FOR s IN {_DSH}]) AS mh3
+    FROM documents
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (k=4 shown; the LSH pipeline uses k=16, b=4).
+    Deterministic md5-derived hash family → bit-exact DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup_docs.minhash_signatures(docs, k=4)
+    return sigs.select(
+        "doc_id",
+        *[F.col("minhash")[i].alias(f"mh{i}") for i in range(4)],
+    )
+
+
+@_reg(
+    "dedup_simhash",
+    f"""
+    WITH h AS (SELECT doc_id, [{_dh48('w', 'simhash')} FOR w IN {_DW}] AS hs
+               FROM documents)
+    SELECT doc_id,
+           (SELECT sum(CASE WHEN 2 * len(list_filter(hs, x -> (x & (1::BIGINT << b)) != 0))
+                                 > len(hs)
+                            THEN (1::BIGINT << b) ELSE 0 END)
+            FROM range(0, 16) t(b))::BIGINT AS simhash
+    FROM h
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprint (16-bit here for the oracle; 32/64 at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_docs.simhash(docs, bits=16)
+
+
+@_reg(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_DSH}) AS s FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard on candidate pairs (here: consecutive doc ids —
+    the LSH candidate generator is dedup_minhash_lsh_pairs, tested in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("doc_a")).withColumn(
+        "doc_b", F.col("doc_a") + 1
+    )
+    out = dedup_docs.ngram_jaccard(docs, pairs)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_reg(
+    "ann_cosine_topk",
+    """
+    SELECT query_id, vec_id, round(cos_raw, 5) AS cos_sim, rank
+    FROM (SELECT q.vec_id AS query_id, c.vec_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 8) AS cos_raw,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 8) DESC,
+                                             c.vec_id ASC) AS rank
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 3)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact baseline; LSH-bucketed variant is the
+    scale path, tested in pytest). Embeddings cast to double on both sides so
+    the rank-deciding cosine is bit-comparable after 8dp rounding."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 5).alias("cos_sim"), "rank"
+    )
+
+
+@_reg(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           len({_DW}) AS n_tokens_ws,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = text.token_count(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("bigint").alias("n_tokens_ws"),
+        "n_tokens_bpe_est",
+    )
+
+
+@_reg(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           len({_DW}) AS n_words,
+           round(len(list_filter({_DW},
+                 w -> list_contains(['the','and','of','to','in'], w)))::DOUBLE
+                 / len({_DW}), 6) AS stopword_ratio,
+           (length(text) >= 50 AND len({_DW}) >= 10) AS quality_ok
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin("the", "and", "of", "to", "in")))
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(n_stop / n_words, 6).alias("stopword_ratio"),
+        ((F.length("text") >= 50) & (n_words >= 10)).alias("quality_ok"),
+    )
+
+
+@_reg(
+    "text_lang_id",
+    f"""
+    WITH sc AS (
+      SELECT doc_id,
+             len(list_filter({_DW}, w -> list_contains(['the','and','of','to','in'], w))) AS h_en,
+             len(list_filter({_DW}, w -> list_contains(['der','die','und','das','ist'], w))) AS h_de,
+             len(list_filter({_DW}, w -> list_contains(['le','la','et','les','des'], w))) AS h_fr,
+             len(list_filter({_DW}, w -> list_contains(['el','la','que','los','de'], w))) AS h_es
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM sc
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Marker-word language ID; tie-break order fr > es > en > de (fixed)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    markers = {
+        "en": ["the", "and", "of", "to", "in"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "et", "les", "des"],
+        "es": ["el", "la", "que", "los", "de"],
+    }
+    def marker_test(m):
+        return lambda w: w.isin(*m)
+
+    hits = {lang: F.size(F.filter(words, marker_test(m))) for lang, m in markers.items()}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(hits["fr"] == best, "fr")
+        .when(hits["es"] == best, "es")
+        .when(hits["en"] == best, "en")
+        .otherwise("de")
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+@_reg(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fp")
+
+
+# --- non-SQL-expressible entries (rows-only driver check) -------------
+
+@_reg("media_feature_extract")  # no oracle: mapInPandas over binary payloads
+def media_feature_extract(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column → Arrow-batched featurizer
+    (deterministic fake decode; real codecs stubbed per container limits)."""
+    from seatunnel_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=96)
+    feats = extract_features(media, fake=True)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg(F.element_at("features", 1)), 6).alias("avg_f0"),
+    )
+
+
+@_reg("dedup_minhash_lsh_pairs")  # no oracle: pair set checked in pytest
+def dedup_minhash_lsh_pairs_q(spark, sf_dir):
+    """Banded-LSH candidate pairs (k=16, b=4) + exact Jaccard verify —
+    the full near-dedup pipeline; the count is the driver's rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_docs.minhash_lsh_pairs(docs, k=16, bands=4)
+    verified = dedup_docs.ngram_jaccard(docs, pairs)
+    return verified.where(F.col("jaccard") >= 0.2).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -65,9 +65,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature as array<bigint> of length k."""
     sh = _shingles(col)
-    sig = F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: _h48(s, i))) for i in range(k)]
-    )
+
+    # NB: single-arity lambdas only — a (x, i) lambda makes Spark pass the
+    # element index as the second arg, which would silently replace the salt.
+    def hasher(salt):
+        return lambda s: _h48(s, salt)
+
+    sig = F.array(*[F.array_min(F.transform(sh, hasher(i))) for i in range(k)])
     return df.select(F.col(id_col), sig.alias("minhash"))
 
 
@@ -149,9 +153,13 @@ def simhash(df: DataFrame, id_col: str = "doc_id", col: str = "text", bits: int 
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), " ")
     hashes = F.transform(words, lambda w: _h48(w, "simhash"))
     n = F.size(hashes)
+
+    def bit_test(mask):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
     bit_exprs = []
     for b in range(bits):
-        ones = F.size(F.filter(hashes, lambda h, b=b: h.bitwiseAND(F.lit(1 << b)) != 0))
+        ones = F.size(F.filter(hashes, bit_test(1 << b)))
         bit_exprs.append(F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
     sim = bit_exprs[0]
     for e in bit_exprs[1:]:

@@ -1,0 +1,136 @@
+"""Unit tests for transforms, dedup suite, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seatunnel_spark.functions.zeta import rewrite_zeta_sql
+from seatunnel_spark.operators import dedup_docs, similarity, text, transforms
+from seatunnel_spark.operators.dedup import lww_dedup, lww_dedup_agg
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away fast", "en", "s0"),
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast", "en", "s1"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away slow", "en", "s2"),
+        (3, "der hund ist und das der die und auch hier", "de", "s3"),
+        (4, "completely different text about spark query engines and shuffles", "en", "s4"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_lww_forms_agree(spark):
+    ev = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (2, 7, "d"), (1, 15, "e")],
+        "k long, seq long, v string",
+    )
+    a = {r["k"]: r["v"] for r in lww_dedup(ev, ["k"]).collect()}
+    b = {r["k"]: r["v"] for r in lww_dedup_agg(ev, ["k"]).collect()}
+    assert a == b == {1: "b", 2: "d"}
+
+
+def test_transforms(spark):
+    df = spark.createDataFrame([(1, "a/b/c", "x y")], "id long, p string, t string")
+    out = transforms.split_field(df, "p", "/", ["p0", "p1", "p2"])
+    r = out.collect()[0]
+    assert (r["p0"], r["p1"], r["p2"]) == ("a", "b", "c")
+    out = transforms.field_mapper(df, {"id": "ident", "t": "txt"})
+    assert out.columns == ["ident", "txt"]
+    out = transforms.replace_field(df, "t", "y", "z")
+    assert out.collect()[0]["t"] == "x z"
+    out = transforms.copy_fields(df, {"t": "t2"})
+    assert out.collect()[0]["t2"] == "x y"
+
+
+def test_exact_dedup_groups(spark, docs):
+    got = {r["doc_id"]: (r["canonical_id"], r["group_size"]) for r in
+           dedup_docs.exact_dedup(docs).collect()}
+    assert got[0] == (0, 2) and got[1] == (0, 2)  # 0 and 1 identical
+    assert got[2][1] == 1 and got[4][1] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup_docs.minhash_lsh_pairs(docs, k=16, bands=8).collect()}
+    assert (0, 1) in pairs          # identical docs always collide
+    assert (0, 4) not in pairs and (1, 4) not in pairs  # unrelated docs don't
+    jac = dedup_docs.ngram_jaccard(
+        docs, spark.createDataFrame([(0, 1), (0, 2), (0, 4)], "doc_a long, doc_b long")
+    )
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jac.collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.5 < j[(0, 2)] < 1.0
+    assert j[(0, 4)] < 0.1
+
+
+def test_simhash_near_dup_close(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup_docs.simhash(docs, bits=32).collect()}
+    assert sh[0] == sh[1]
+    ham_02 = bin(sh[0] ^ sh[2]).count("1")
+    ham_04 = bin(sh[0] ^ sh[4]).count("1")
+    assert ham_02 <= ham_04
+
+def test_brute_force_topk_self_similarity(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((4, [1.0, 0.0, 0.0, 0.001]))  # near-dup of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=1)
+    r = out.collect()[0]
+    assert r["vec_id"] == 4 and r["rank"] == 1 and r["cos_sim"] > 0.999
+
+
+def test_lsh_near_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 0
+        (2, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             similarity.lsh_near_dup_pairs(emb, dim=4, planes=4, threshold=0.99).collect()}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_text_operators(spark, docs):
+    tc = text.token_count(docs).collect()[0]
+    assert tc["n_tokens_ws"] == 13
+    li = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert li[3] == "de"
+    q = text.quality_score(docs).collect()[0]
+    assert q["n_words"] == 13 and 0 < q["stopword_ratio"] < 1
+    fp = text.fingerprint(docs).select("fp").distinct().count()
+    assert fp == 4  # 0/1 share a fingerprint
+
+
+def test_multimodal_plumbing(spark):
+    from seatunnel_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=12)
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r["features"] for r in
+             multimodal.extract_features(media, fake=True).collect()}
+    assert again[0] == rows[0]["features"] or again[rows[0]["media_id"]] == rows[0]["features"]
+    plan = multimodal.frame_sample_plan(media, every_ms=10000)
+    assert plan.where(F.col("frame_ms") % 10000 != 0).count() == 0
+
+
+def test_zeta_sql_rewrite():
+    assert rewrite_zeta_sql("FORMATDATETIME(ts, 'yyyy')") == "DATE_FORMAT(ts, 'yyyy')"
+    assert rewrite_zeta_sql("IFNULL(a, b)") == "COALESCE(a, b)"
+    assert rewrite_zeta_sql("CONCAT(UPPER(x), LOWER(y))") == "CONCAT(UPPER(x), LOWER(y))"
+
+
+def test_entry_contract():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert len(qs) >= 25
+    assert set(os_) <= set(qs)
+    no_oracle = set(qs) - set(os_)
+    assert no_oracle <= {"media_feature_extract", "dedup_minhash_lsh_pairs"}
