@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CDC_BASE = int(os.environ.get("BENCH_CDC_BASE", "50000"))
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "200000"))
+CDC_BASE = int(os.environ.get("BENCH_CDC_BASE", "200000"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
 CACHE = os.environ.get("BENCH_CACHE", "/root/repo/.cache")
 
 HEADLINE = [
@@ -58,7 +58,7 @@ def run_cdc_replay(spark) -> dict:
 
     fx_dir = os.path.join(CACHE, f"cdc_{CDC_BASE}_{CDC_EVENTS}")
     t0 = time.time()
-    paths = gen.write_fixture(fx_dir, CDC_BASE, CDC_EVENTS, seed=42, n_event_files=16)
+    paths = gen.write_fixture(fx_dir, CDC_BASE, CDC_EVENTS, seed=42, n_event_files=8)
     log(f"fixture ready in {time.time()-t0:.1f}s")
 
     work = os.path.join(CACHE, "bench_run")

@@ -264,6 +264,54 @@ def k6_upsert_final_state(spark, sf_dir):
     )
 
 
+@_reg(
+    "s1_table_discovery",
+    """
+    SELECT 'customer' AS tbl, count(*) AS n FROM customer
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    """,
+)
+def s1_table_discovery(spark, sf_dir):
+    """Captured-table discovery (DataSourceDialect.discoverDataCollections,
+    IncrementalSource.java:199-200): enumerate sources + row counts."""
+    parts = []
+    for tbl in ["customer", "orders", "lineitem", "events"]:
+        parts.append(
+            _t(spark, sf_dir, tbl).agg(F.count("*").alias("n")).select(
+                F.lit(tbl).alias("tbl"), "n"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_reg(
+    "s7_incremental_start_offset",
+    """
+    SELECT min(high) AS start_offset, max(high) AS max_high, count(*) AS n_chunks
+    FROM (SELECT user_id % 8 AS chunk, max(event_id) AS high
+          FROM events GROUP BY 1)
+    """,
+)
+def s7_incremental_start_offset(spark, sf_dir):
+    """Incremental split construction: stream start = min of completed
+    chunks' HIGH watermarks under exactly-once
+    (IncrementalSplitAssigner.createIncrementalSplit:198-257, :213-218)."""
+    ev = _t(spark, sf_dir, "events")
+    highs = ev.groupBy((F.col("user_id") % 8).alias("chunk")).agg(
+        F.max("event_id").alias("high")
+    )
+    return highs.agg(
+        F.min("high").alias("start_offset"),
+        F.max("high").alias("max_high"),
+        F.count("*").alias("n_chunks"),
+    )
+
+
 # =====================================================================
 # Transforms (SURVEY §2.4) over `documents` / `events`
 # =====================================================================
@@ -431,6 +479,33 @@ def f_math_funcs(spark, sf_dir):
         (F.round(F.col("value") * 100, 0).cast("bigint") % 7).alias("md"),
         F.round(F.log(F.col("value") + 1), 6).alias("lg"),
         F.signum(F.col("value") - 100).cast("double").alias("sg"),
+    )
+
+
+@_reg(
+    "f_system_funcs",
+    """
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'deleted') AS et,
+           CASE WHEN value >= 100 THEN 'hi' WHEN value >= 10 THEN 'mid' ELSE 'lo' END AS bucket3,
+           CAST(round(value, 0) AS BIGINT) AS value_int,
+           CAST(user_id AS VARCHAR) AS uid_str
+    FROM events
+    """,
+)
+def f_system_funcs(spark, sf_dir):
+    """System functions: COALESCE / NULLIF / CASE / CAST
+    (reference SystemFunction.java)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("deleted")).alias("et"),
+        F.when(F.col("value") >= 100, "hi")
+        .when(F.col("value") >= 10, "mid")
+        .otherwise("lo")
+        .alias("bucket3"),
+        F.round(F.col("value"), 0).cast("bigint").alias("value_int"),
+        F.col("user_id").cast("string").alias("uid_str"),
     )
 
 

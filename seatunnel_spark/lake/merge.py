@@ -1,4 +1,5 @@
-"""Keyed MERGE INTO with last-writer-wins semantics, bucket-level COW.
+"""Keyed MERGE INTO with last-writer-wins semantics — merge-on-read deltas
+with amortized compaction.
 
 Equivalent SQL (what this runs as on a real Iceberg catalog):
 
@@ -8,29 +9,26 @@ Equivalent SQL (what this runs as on a real Iceberg catalog):
     WHEN MATCHED THEN UPDATE SET *
     WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
 
-Reference semantics being reproduced:
+Reference semantics reproduced:
 - keyed upsert DML routing I/+U → upsert, D → delete
   (connector-jdbc MysqlDialect.java:55-71, JdbcDialect.java:87-163)
-- last-writer-wins dedup per key inside a batch, later ops overwrite earlier
-  (BufferReducedBatchStatementExecutor.java:42-106) — realized here as
-  ``max_by(row, seq)`` per key, which folds the existing table state (at its
-  stored last-applied ``_seq``) into the same reduction, so intra-batch
-  churn, delete-then-reinsert, and even out-of-order batch delivery all
-  resolve strictly by log offset. Deletes persist as ``_op='D'`` tombstones
-  (filtered from user scans); a compaction job can expire tombstones older
-  than the source's replay horizon.
+- last-writer-wins dedup per key inside a batch
+  (BufferReducedBatchStatementExecutor.java:42-106), realized as a
+  ``max_by(row, seq)`` aggregate — map-side combinable, so a hot repo's
+  events partially reduce before the shuffle. Deletes persist as
+  ``_op='D'`` tombstone rows; every stored row carries its last-applied
+  ``_seq``, so even out-of-order batch delivery resolves strictly by log
+  offset (an older event can never resurrect or downgrade a row).
 
-Physical plan at scale (the part the judge should check with .explain):
-- only **affected buckets** are read and rewritten (bucket-pruned COW);
-  untouched buckets' files carry over by reference in the new snapshot.
-- one hash exchange on the key for the reduction (map-side partial
-  aggregation applies since max_by is an aggregate), one light exchange on
-  ``bucket`` to get file-per-bucket output. At 100 TB the first exchange is
-  bounded by |affected buckets| × bucket size, not table size — the bucket
-  count is the knob. A merge-on-read variant (write delete files, compact
-  later) removes the COW read entirely and is the known next step.
-- AQE skew-join handles hot keys in the exchange; the batch side is
-  pre-reduced so a hot repo contributes one row per (repo, path).
+Why merge-on-read (the 100 TB argument): with uniformly hashed keys every
+micro-batch touches every bucket, so copy-on-write would rewrite the WHOLE
+table each batch — per-batch cost O(table). Here a commit writes only the
+reduced batch as per-bucket delta files — O(batch) — and reads LWW-reduce
+across a bucket's file stack (LakeTable.scan). Compaction folds a bucket
+back to a single file whenever its stack exceeds ``compact_threshold``,
+bounding read amplification; the same LSM-style shape as Apache Paimon /
+Hudi MOR. Compaction is itself an epoch-led idempotent commit, so a crash
+between delta and compact commits replays safely.
 """
 
 from __future__ import annotations
@@ -43,6 +41,32 @@ from pyspark.sql import functions as F
 
 from seatunnel_spark.lake.table import LakeTable
 
+COMPACT_THRESHOLD = 8
+
+
+def _write_bucketed(table: LakeTable, df: DataFrame, n_partitions: int) -> dict[int, list[dict]]:
+    """Write df (with a ``bucket`` column) partitioned by bucket under a fresh
+    staging dir; return {bucket: [file entries]} relative to the table root."""
+    staging_rel = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}")
+    staging_abs = os.path.join(table.root, staging_rel)
+    (
+        df.repartition(max(n_partitions, 1), "bucket")
+        .write.partitionBy("bucket")
+        .parquet(staging_abs)
+    )
+    schema_id = table.meta["current_schema_id"]
+    out: dict[int, list[dict]] = {}
+    for entry in os.listdir(staging_abs):
+        if not entry.startswith("bucket="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        for fn in os.listdir(os.path.join(staging_abs, entry)):
+            if fn.endswith(".parquet"):
+                out.setdefault(b, []).append(
+                    {"path": os.path.join(staging_rel, entry, fn), "schema_id": schema_id}
+                )
+    return out
+
 
 def merge_into(
     spark: SparkSession,
@@ -51,91 +75,97 @@ def merge_into(
     epoch_id: str,
     extra_summary: dict | None = None,
     properties_update: dict | None = None,
+    compact_threshold: int = COMPACT_THRESHOLD,
 ) -> dict:
-    """Apply a change batch to the table as one atomic snapshot commit.
-
-    ``batch`` columns: current table schema columns + ``op`` ('I'/'U'/'D') +
-    ``seq`` (long, strictly ordering the events; unique within the batch).
-    Returns commit stats; ``{"skipped": True}`` if epoch_id already applied.
-    """
+    """Apply a change batch as one atomic delta commit (+ compaction when a
+    bucket's file stack is deep). ``batch`` columns: current table schema
+    columns + ``op`` ('I'/'U'/'D') + ``seq``. Idempotent by epoch_id."""
     table.refresh()
     if table.epoch_committed(epoch_id):
         return {"skipped": True, "epoch_id": epoch_id}
 
     field_names = [f["name"] for f in table.schema_fields()]
     key = table.key
-    nb = table.num_buckets
 
     batch = batch.select(*field_names, "op", "seq").withColumn(
         "bucket", table.bucket_expr()
     )
-    # affected buckets: tiny collect (≤ num_buckets ints), enables COW pruning
-    affected = [
-        r[0] for r in batch.select("bucket").distinct().collect()
-    ]
-    if not affected:
-        table.commit_snapshot({}, epoch_id, {"rows_written": 0, **(extra_summary or {})})
-        return {"epoch_id": epoch_id, "rows_written": 0, "buckets": []}
-
-    # existing rows carry their last-applied (_op, _seq); deletes persist as
-    # tombstones so an out-of-order older event can never resurrect a row.
-    existing = (
-        table.scan(spark, buckets=affected, include_meta=True)
-        .withColumnRenamed("_op", "op")
-        .withColumnRenamed("_seq", "seq")
-        .withColumn("bucket", table.bucket_expr())
-    )
-
-    everything = existing.unionByName(batch)
+    # one shuffle over the batch only: LWW-reduce per key (tombstones kept)
     payload = [c for c in field_names + ["op", "seq", "bucket"] if c not in key]
-    merged = (
-        everything.groupBy(*key)
+    reduced = (
+        batch.groupBy(*key)
         .agg(F.max_by(F.struct(*payload), F.col("seq")).alias("_r"))
         .select(*key, "_r.*")
         .withColumnRenamed("op", "_op")
         .withColumnRenamed("seq", "_seq")
-    )
+    ).persist()
 
-    # file-per-bucket output; AQE coalesces small buckets
-    staging_rel = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}")
-    staging_abs = os.path.join(table.root, staging_rel)
-    (
-        merged.repartition(len(affected), "bucket")
-        .write.partitionBy("bucket")
-        .parquet(staging_abs)
-    )
+    # single pass for per-bucket counts + seq range (drives the commit)
+    stats = reduced.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.min("_seq").alias("lo"), F.max("_seq").alias("hi")
+    ).collect()
+    affected = sorted(r["bucket"] for r in stats)
+    if not affected:
+        reduced.unpersist()
+        table.commit_snapshot(
+            {}, epoch_id, {"rows_written": 0, **(extra_summary or {})},
+            properties_update=properties_update,
+        )
+        return {"epoch_id": epoch_id, "batch_rows": 0, "buckets": []}
 
-    schema_id = table.meta["current_schema_id"]
-    new_bucket_files: dict[int, list[dict]] = {b: [] for b in affected}
-    for entry in os.listdir(staging_abs):
-        if not entry.startswith("bucket="):
-            continue
-        b = int(entry.split("=", 1)[1])
-        for fn in os.listdir(os.path.join(staging_abs, entry)):
-            if fn.endswith(".parquet"):
-                new_bucket_files[b].append(
-                    {"path": os.path.join(staging_rel, entry, fn), "schema_id": schema_id}
-                )
+    new_files = _write_bucketed(table, reduced, len(affected))
+    reduced.unpersist()
 
-    agg = batch.agg(
-        F.count("*").alias("n"), F.min("seq").alias("lo"), F.max("seq").alias("hi")
-    ).collect()[0]
     summary = {
-        "operation": "merge",
-        "batch_rows": agg["n"],
-        "seq_min": agg["lo"],
-        "seq_max": agg["hi"],
-        "buckets_rewritten": len(affected),
+        "operation": "merge-delta",
+        "batch_rows": int(sum(r["n"] for r in stats)),
+        "seq_min": min(r["lo"] for r in stats),
+        "seq_max": max(r["hi"] for r in stats),
+        "buckets_touched": len(affected),
         **(extra_summary or {}),
     }
     committed = table.commit_snapshot(
-        new_bucket_files, epoch_id, summary, properties_update=properties_update
+        new_files, epoch_id, summary, properties_update=properties_update, mode="append"
     )
+
+    compacted = maybe_compact(spark, table, epoch_id, compact_threshold)
     return {
         "epoch_id": epoch_id,
         "skipped": not committed,
-        "batch_rows": agg["n"],
-        "seq_min": agg["lo"],
-        "seq_max": agg["hi"],
-        "buckets": sorted(affected),
+        "batch_rows": summary["batch_rows"],
+        "seq_min": summary["seq_min"],
+        "seq_max": summary["seq_max"],
+        "buckets": affected,
+        "compacted_buckets": compacted,
     }
+
+
+def maybe_compact(
+    spark: SparkSession,
+    table: LakeTable,
+    epoch_id: str,
+    threshold: int = COMPACT_THRESHOLD,
+) -> list[int]:
+    """Fold any bucket whose delta stack exceeds ``threshold`` back into one
+    reduced file. Amortized O(bucket) every ~threshold batches; epoch-led so
+    replay after a crash between delta and compact commits is a no-op."""
+    table.refresh()
+    deep = sorted(b for b, n in table.delta_file_counts().items() if n > threshold)
+    if not deep:
+        return []
+    c_epoch = f"{epoch_id}.compact"
+    if table.epoch_committed(c_epoch):
+        return deep
+    merged = table.scan(spark, buckets=deep, include_meta=True).withColumn(
+        "bucket", table.bucket_expr()
+    )
+    new_files = _write_bucketed(table, merged, len(deep))
+    for b in deep:
+        new_files.setdefault(b, [])  # bucket may reduce to nothing but tombstones? keep empty
+    table.commit_snapshot(
+        new_files,
+        c_epoch,
+        {"operation": "compact", "buckets": deep},
+        mode="replace",
+    )
+    return deep

@@ -213,13 +213,43 @@ class LakeTable:
         if snap is None:
             return finish(spark.createDataFrame([], empty_schema))
         wanted = set(range(self.num_buckets)) if buckets is None else set(buckets)
-        by_schema: dict[int, list[str]] = {}
+
+        # Merge-on-read split: every data file is internally LWW-reduced
+        # (one row per key), so buckets with a single file need no reduce;
+        # only multi-file buckets pay the key shuffle — compaction keeps
+        # that set small. Keys never cross buckets, so the two halves are
+        # disjoint and union cleanly.
+        single_files: list[dict] = []
+        multi_files: list[dict] = []
         for b, files in snap["bucket_files"].items():
             if int(b) in wanted:
-                for f in files:
-                    by_schema.setdefault(f["schema_id"], []).append(
-                        os.path.join(self.root, f["path"])
-                    )
+                (single_files if len(files) <= 1 else multi_files).extend(files)
+
+        parts = []
+        compacted = self._read_aligned(spark, single_files, cur)
+        if compacted is not None:
+            parts.append(compacted)
+        layered = self._read_aligned(spark, multi_files, cur)
+        if layered is not None:
+            from seatunnel_spark.operators.dedup import lww_dedup_agg
+
+            parts.append(lww_dedup_agg(layered, self.key, "_seq"))
+
+        if not parts:
+            return finish(spark.createDataFrame([], empty_schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return finish(out)
+
+    def _read_aligned(self, spark: SparkSession, files: list[dict], cur: list[dict]):
+        """Read data files grouped by writer schema, aligned to the current
+        schema by column id (rename/null-fill/cast — Iceberg evolution)."""
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f["schema_id"], []).append(
+                os.path.join(self.root, f["path"])
+            )
         parts = []
         for sid, paths in sorted(by_schema.items()):
             old = {f["id"]: f for f in self.schema_fields(sid)}
@@ -234,11 +264,17 @@ class LakeTable:
             cols += [F.col("_op"), F.col("_seq").cast("long")]
             parts.append(raw.select(*cols))
         if not parts:
-            return finish(spark.createDataFrame([], empty_schema))
+            return None
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return finish(out)
+        return out
+
+    def delta_file_counts(self) -> dict[int, int]:
+        snap = self.current_snapshot()
+        if snap is None:
+            return {}
+        return {int(b): len(fs) for b, fs in snap["bucket_files"].items()}
 
     # ------------------------------------------------------------ commits
     def commit_snapshot(
@@ -247,9 +283,16 @@ class LakeTable:
         epoch_id: str,
         summary: dict,
         properties_update: dict | None = None,
+        mode: str = "replace",
     ) -> bool:
-        """Swap in a snapshot replacing the file lists of the given buckets.
-        Returns False (no-op) if ``epoch_id`` was already applied."""
+        """Swap in a snapshot changing the file lists of the given buckets.
+
+        mode="replace": the bucket's list becomes exactly the given files
+        (compaction / full rewrite). mode="append": the files are appended as
+        merge-on-read deltas — reads LWW-reduce across a bucket's files, so
+        a delta commit costs O(batch), never O(table). Returns False (no-op)
+        if ``epoch_id`` was already applied.
+        """
 
         def mutate(meta: dict):
             if epoch_id in meta["epochs"]:
@@ -263,7 +306,10 @@ class LakeTable:
                 )
             bucket_files = dict(prev["bucket_files"]) if prev else {}
             for b, files in new_bucket_files.items():
-                bucket_files[str(b)] = files
+                if mode == "append":
+                    bucket_files[str(b)] = bucket_files.get(str(b), []) + files
+                else:
+                    bucket_files[str(b)] = files
             snap_id = (prev["snapshot_id"] + 1) if prev else 1
             snap = {
                 "snapshot_id": snap_id,

@@ -173,26 +173,37 @@ class CdcIngestJob:
                 (r["seq"], r["ddl"])
                 for r in batch.where(F.col("op") == OP_DDL).select("seq", "ddl").collect()
             )
-            seg = F.lit(0)
-            for s, _ in ddls:
-                seg = seg + (F.col("seq") > s).cast("int")
-            dml = dml.withColumn("_seg", seg).persist()
-            seg_counts = {r["_seg"]: r["n"] for r in dml.groupBy("_seg").agg(F.count("*").alias("n")).collect()}
-
-            applied = 0
-            for i in range(len(ddls) + 1):
-                if seg_counts.get(i, 0) > 0:
-                    segment = dml.where(F.col("_seg") == i).drop("_seg")
-                    projected = project_to_table_schema(table, segment)
-                    merge_into(self.spark, table, projected, epoch_id=f"b{batch_id}.s{i}")
-                    applied += seg_counts[i]
-                if i < len(ddls):
-                    s, payload = ddls[i]
-                    table.update_schema(SchemaChange.from_json(payload), epoch_id=f"b{batch_id}.d{s}")
-                    applied += 1
+            if not ddls:
+                # fast path (overwhelmingly common): one sub-transaction,
+                # no segmentation pass over the batch
+                merge_into(
+                    self.spark, table, project_to_table_schema(table, dml),
+                    epoch_id=f"b{batch_id}.s0",
+                )
+            else:
+                seg = F.lit(0)
+                for s, _ in ddls:
+                    seg = seg + (F.col("seq") > s).cast("int")
+                dml = dml.withColumn("_seg", seg).persist()
+                seg_counts = {
+                    r["_seg"]: r["n"]
+                    for r in dml.groupBy("_seg").agg(F.count("*").alias("n")).collect()
+                }
+                for i in range(len(ddls) + 1):
+                    if seg_counts.get(i, 0) > 0:
+                        segment = dml.where(F.col("_seg") == i).drop("_seg")
+                        projected = project_to_table_schema(table, segment)
+                        merge_into(self.spark, table, projected, epoch_id=f"b{batch_id}.s{i}")
+                    if i < len(ddls):
+                        s, payload = ddls[i]
+                        table.update_schema(
+                            SchemaChange.from_json(payload), epoch_id=f"b{batch_id}.d{s}"
+                        )
 
             # --- lineage: per-partition offset ranges + applied txn ids
-            lineage = (
+            # (collected once — ≤ one row per partition — then written
+            # driver-side so the batch isn't scanned a second time)
+            lin_rows = (
                 dml.groupBy(F.spark_partition_id().alias("partition_id"))
                 .agg(
                     F.min("seq").alias("seq_min"),
@@ -200,11 +211,17 @@ class CdcIngestJob:
                     F.collect_set("txn_id").alias("txn_ids"),
                     F.count("*").alias("n_events"),
                 )
-                .withColumn("batch_id", F.lit(batch_id).cast("long"))
-                .withColumn("committed_at", F.current_timestamp())
+                .collect()
+            )
+            lineage = self.spark.createDataFrame(
+                [tuple(r) for r in lin_rows] or [(0, None, None, [], 0)],
+                "partition_id int, seq_min long, seq_max long, txn_ids array<long>, n_events long",
+            ).withColumn("batch_id", F.lit(batch_id).cast("long")).withColumn(
+                "committed_at", F.current_timestamp()
             )
             lineage.write.mode("append").parquet(self.lineage_dir)
 
+            applied = int(sum(r["n_events"] for r in lin_rows)) + len(ddls)
             self._events_applied += applied
             self._write_metrics(
                 batch_id=batch_id,

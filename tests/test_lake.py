@@ -64,10 +64,11 @@ def test_epoch_idempotence(spark, table):
     assert table.scan(spark).count() == 3
 
 
-def test_bucket_pruning_cow(spark, table):
+def test_delta_commit_touches_one_bucket(spark, table):
     merge_into(spark, table, _batch(spark, ROWS1), "e1")
     snap1 = table.current_snapshot()
-    # touch one key only → only its bucket should be rewritten
+    # touch one key only → exactly one bucket gains a delta file (O(batch),
+    # never O(table) — the merge-on-read contract)
     merge_into(
         spark, table, _batch(spark, [("o/r1", "a.py", "cX", "py", "new", "U", 99)]), "e2"
     )
@@ -77,11 +78,31 @@ def test_bucket_pruning_cow(spark, table):
         if snap2["bucket_files"][b] != snap1["bucket_files"].get(b, [])
     ]
     assert len(changed) == 1
-    assert snap2["summary"]["buckets_rewritten"] == 1
+    assert snap2["summary"]["buckets_touched"] == 1
+    assert len(snap2["bucket_files"][changed[0]]) == len(snap1["bucket_files"][changed[0]]) + 1
     # untouched buckets carried over by reference (no rewrite)
-    untouched = set(snap1["bucket_files"]) - set(changed)
-    for b in untouched:
+    for b in set(snap1["bucket_files"]) - set(changed):
         assert snap2["bucket_files"][b] == snap1["bucket_files"][b]
+    # read-side LWW resolves the stack
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert got["a.py"]["content"] == "new"
+
+
+def test_compaction_folds_stack(spark, table):
+    merge_into(spark, table, _batch(spark, ROWS1), "e0", compact_threshold=3)
+    for i in range(1, 7):
+        merge_into(
+            spark,
+            table,
+            _batch(spark, [("o/r1", "a.py", f"c{i}", "py", f"v{i}", "U", 100 + i)]),
+            f"e{i}",
+            compact_threshold=3,
+        )
+    counts = table.delta_file_counts()
+    assert max(counts.values()) <= 4  # stacks folded by compaction
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert got["a.py"]["content"] == "v6"  # latest survives compaction
+    assert set(got) == {"a.py", "b.py", "c.go"}
 
 
 def test_schema_evolution_add_rename_widen(spark, table):

@@ -55,8 +55,8 @@ def run_at(cores: int, zip_path: Path, fixture: str, events: int, workdir: str) 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=int(os.environ.get("BENCH_CDC_EVENTS", "200000")))
-    ap.add_argument("--base", type=int, default=int(os.environ.get("BENCH_CDC_BASE", "50000")))
+    ap.add_argument("--events", type=int, default=int(os.environ.get("BENCH_CDC_EVENTS", "1000000")))
+    ap.add_argument("--base", type=int, default=int(os.environ.get("BENCH_CDC_BASE", "200000")))
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--n4", type=int, default=32)
     args = ap.parse_args()
@@ -66,7 +66,7 @@ def main() -> None:
     cache = Path(os.environ.get("BENCH_CACHE", REPO / ".cache"))
     cache.mkdir(exist_ok=True)
     fixture = cache / f"cdc_{args.base}_{args.events}"
-    gen.write_fixture(str(fixture), args.base, args.events, seed=42, n_event_files=16)
+    gen.write_fixture(str(fixture), args.base, args.events, seed=42, n_event_files=8)
     zip_path = build_zip(cache)
 
     r_n = run_at(args.n, zip_path, str(fixture), args.events, str(cache / f"scale_run_{args.n}"))
