@@ -1,0 +1,95 @@
+"""Wire formats: debezium-json and canal-json → changelog columns.
+
+Reference: seatunnel-formats/seatunnel-format-json/.../debezium/
+DebeziumJsonDeserializationSchema.java and canal/CanalJsonDeserializationSchema.java
+— SeaTunnel's compatibility parsers for the two most common CDC wire formats.
+Here each is a single JVM-side ``from_json`` + projection (codegen, no UDF):
+the stream arrives as raw JSON strings (e.g. a Kafka value column) and leaves
+as our typed changelog shape (op I/U/D + after/before images), ready for
+``project_to_table_schema`` → MERGE.
+
+Op mapping:
+- debezium: c/r → I (READ/snapshot rows are inserts, reference
+  SeaTunnelRowDebeziumDeserializeSchema.java:159-198), u → U (after image;
+  UPDATE_BEFORE is not materialized since MERGE is keyed), d → D (before image)
+- canal: INSERT → I, UPDATE → U, DELETE → D (canal batches rows in `data`)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def debezium_envelope_schema(row_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("before", row_schema, True),
+            T.StructField("after", row_schema, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [
+                        T.StructField("table", T.StringType(), True),
+                        T.StructField("db", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+
+
+def parse_debezium_json(
+    df: DataFrame, row_schema: T.StructType, value_col: str = "value"
+) -> DataFrame:
+    """Raw debezium JSON strings → (op, _table, ts_ms, <row fields>).
+    DELETE takes the before image; everything else the after image."""
+    env = F.from_json(F.col(value_col), debezium_envelope_schema(row_schema))
+    op = (
+        F.when(env["op"].isin("c", "r"), "I")
+        .when(env["op"] == "u", "U")
+        .when(env["op"] == "d", "D")
+    )
+    image = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
+    out = df.select(
+        op.alias("op"),
+        env["source"]["table"].alias("_table"),
+        env["ts_ms"].alias("ts_ms"),
+        image.alias("_row"),
+    )
+    return out.select("op", "_table", "ts_ms", "_row.*")
+
+
+def canal_envelope_schema(row_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("data", T.ArrayType(row_schema), True),
+            T.StructField("old", T.ArrayType(row_schema), True),
+            T.StructField("type", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+        ]
+    )
+
+
+def parse_canal_json(
+    df: DataFrame, row_schema: T.StructType, value_col: str = "value"
+) -> DataFrame:
+    """Raw canal JSON strings → one output row per element of `data`."""
+    env = F.from_json(F.col(value_col), canal_envelope_schema(row_schema))
+    op = (
+        F.when(env["type"] == "INSERT", "I")
+        .when(env["type"] == "UPDATE", "U")
+        .when(env["type"] == "DELETE", "D")
+    )
+    out = df.select(
+        op.alias("op"),
+        env["table"].alias("_table"),
+        env["ts"].alias("ts_ms"),
+        F.explode(env["data"]).alias("_row"),
+    )
+    return out.select("op", "_table", "ts_ms", "_row.*")
