@@ -869,6 +869,62 @@ def text_fingerprint(spark, sf_dir):
     return text.fingerprint(docs).select("doc_id", "fp")
 
 
+@_reg(
+    "pk_salted_apply_digest",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           sum(('0x' || substr(md5(text), 1, 10))::BIGINT)::BIGINT AS digest,
+           sum(length(text))::BIGINT AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def pk_salted_apply_digest(spark, sf_dir):
+    """Per-key apply via salted two-phase applyInPandas (the BASELINE-mandated
+    vectorized per-key path with hot-key salting): per-source doc digest."""
+    import hashlib
+
+    import pandas as pd
+
+    from seatunnel_spark.operators.grouped import salted_apply_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["text"].map(
+            lambda t: int(hashlib.md5(t.encode()).hexdigest()[:10], 16)
+        )
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "digest": [int(h.sum())],
+                "total_chars": [int(pdf["text"].str.len().sum())],
+            }
+        )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [int(pdf["n_docs"].sum())],
+                "digest": [int(pdf["digest"].sum())],
+                "total_chars": [int(pdf["total_chars"].sum())],
+            }
+        )
+
+    return salted_apply_per_key(
+        docs.select("source", "text"),
+        ["source"],
+        partial,
+        merge,
+        "source string, n_docs long, digest long, total_chars long",
+        "source string, n_docs long, digest long, total_chars long",
+        n_salt=8,
+        salt_on="text",
+    )
+
+
 # --- non-SQL-expressible entries (rows-only driver check) -------------
 
 @_reg("media_feature_extract")  # no oracle: mapInPandas over binary payloads

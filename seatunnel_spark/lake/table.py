@@ -70,7 +70,21 @@ class LakeTable:
         key: list[str],
         num_buckets: int = 16,
         properties: dict | None = None,
+        save_mode: str = "keep",
     ) -> "LakeTable":
+        """save_mode (reference DataSaveMode.java): 'keep' loads an existing
+        table, 'error_if_exists' raises, 'recreate' drops existing data."""
+        if LakeTable.exists(root):
+            if save_mode == "keep":
+                return LakeTable.load(root)
+            if save_mode == "error_if_exists":
+                raise FileExistsError(f"lake table already exists at {root}")
+            if save_mode == "recreate":
+                import shutil
+
+                shutil.rmtree(root)
+            else:
+                raise ValueError(f"unknown save_mode {save_mode!r}")
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         schema = [

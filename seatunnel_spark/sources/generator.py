@@ -20,7 +20,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timezone
 
 import numpy as np
 import pandas as pd
@@ -110,84 +110,118 @@ def gen_events(
     """Sequential change log: ~60% U (hot-key heavy), ~25% I, ~10% D
     (incl. delete-then-reinsert), ~5% same-key churn, + DDL at fixed offsets.
 
-    Deterministic given (n_events, n_base, seed). The live key set evolves as
-    we generate, exactly as a real binlog would.
+    Deterministic given (n_events, n_base, seed). The live key set evolves
+    as we generate, exactly as a real binlog would. Two-phase for speed at
+    10^6+ events: a light sequential pass decides (op, key, version) using
+    pre-drawn numpy randoms (no hashing in the loop), then the string
+    columns (keys, commits, contents) are materialized in bulk.
     """
+    rng = np.random.default_rng(seed)
+    u_op = rng.random(n_events)
+    u_pick = rng.random((n_events, 8))
+    u_re = rng.random(n_events)
+
     ddls = ddl_schedule(n_events) if with_ddl else {}
-    versions: dict[int, int] = {}  # key index -> latest version (live keys)
+    versions: dict[int, int] = {}  # key index -> latest version; -1 = dead base key
     deleted: list[int] = []
     next_key = n_base
-    has_stars = False
-    rows = []
+
+    ops = np.empty(n_events, dtype="U3")
+    keys = np.full(n_events, -1, dtype=np.int64)
+    vers = np.full(n_events, -1, dtype=np.int64)
+
+    def alive(k: int) -> bool:
+        return versions.get(k, 0 if k < n_base else -1) >= 0
+
+    def pick_live(s: int) -> int:
+        hi = n_base + len(versions)
+        k = 0
+        for a in range(8):
+            k = int(hi * u_pick[s, a] ** 2.0)
+            if alive(k):
+                return k
+        for step in range(1, 4096):
+            kk = (k + step) % max(hi, 1)
+            if alive(kk):
+                return kk
+        return 0
+
     for s in range(n_events):
         if s in ddls:
-            ev = ddls[s]
-            if ev.kind == "add_column":
-                has_stars = True
-            rows.append(
-                (s, s // txn_size, OP_DDL, None, None, None, None, None, ev.to_json(), None,
-                 EPOCH0 + timedelta(seconds=s))
-            )
+            ops[s] = OP_DDL
             continue
-        u = _u(f"{seed}|op|{s}")
-        live = len(versions) + n_base  # keys 0..n_base start live implicitly
-        if u < 0.60 and live > 0:
-            op = OP_UPDATE
-            k = _pick_live(s, seed, n_base, versions, deleted)
+        u = u_op[s]
+        if u < 0.60:
+            op, k = OP_UPDATE, pick_live(s)
         elif u < 0.85:
             op = OP_INSERT
-            # ~8% of inserts re-insert a previously deleted key (LWW edge case)
-            if deleted and _u(f"{seed}|re|{s}") < 0.08:
-                k = deleted[int(_u(f"{seed}|rk|{s}") * len(deleted))]
+            if deleted and u_re[s] < 0.08:  # delete-then-reinsert edge case
+                k = deleted[int(u_pick[s, 7] * len(deleted))]
             else:
-                k = next_key
-                next_key += 1
+                k, next_key = next_key, next_key + 1
         else:
-            op = OP_DELETE
-            k = _pick_live(s, seed, n_base, versions, deleted)
-
-        repo, path, lang = key_for(k, seed)
+            op, k = OP_DELETE, pick_live(s)
+        ops[s] = op
+        keys[s] = k
         if op == OP_DELETE:
-            if k in versions or k < n_base:
-                deleted.append(k)
-            versions.pop(k, None)
-            if k < n_base:
-                versions[k] = -1  # tombstone marker: base key no longer live
-            rows.append(
-                (s, s // txn_size, op, repo, path, None, None, None, None, None,
-                 EPOCH0 + timedelta(seconds=s))
-            )
+            deleted.append(k)
+            versions[k] = -1
         else:
             v = versions.get(k)
             v = 1 if v is None or v < 0 else v + 1
             versions[k] = v
-            extra = (
-                json.dumps({"stars": str(stars_for(repo, path, v))}) if has_stars else None
+            vers[s] = v
+
+    # ---- bulk string materialization -----------------------------------
+    uniq = sorted({int(k) for k in keys if k >= 0})
+    kmap = {k: key_for(k, seed) for k in uniq}  # key -> (repo, path, lang)
+
+    has_stars_from = min(
+        (s for s, ch in ddls.items() if ch.kind == "add_column"), default=n_events + 1
+    )
+    repo_l, path_l, commit_l, lang_l, content_l, ddl_l, extra_l = (
+        [], [], [], [], [], [], []
+    )
+    for s in range(n_events):
+        op = ops[s]
+        if op == OP_DDL:
+            repo_l.append(None); path_l.append(None); commit_l.append(None)
+            lang_l.append(None); content_l.append(None)
+            ddl_l.append(ddls[s].to_json()); extra_l.append(None)
+            continue
+        repo, path, lang = kmap[int(keys[s])]
+        repo_l.append(repo); path_l.append(path); ddl_l.append(None)
+        if op == OP_DELETE:
+            commit_l.append(None); lang_l.append(None)
+            content_l.append(None); extra_l.append(None)
+        else:
+            v = int(vers[s])
+            commit_l.append(commit_for(repo, path, v))
+            lang_l.append(lang)
+            content_l.append(content_for(repo, path, v))
+            extra_l.append(
+                json.dumps({"stars": str(stars_for(repo, path, v))})
+                if s > has_stars_from
+                else None
             )
-            rows.append(
-                (s, s // txn_size, op, repo, path, commit_for(repo, path, v), lang,
-                 content_for(repo, path, v), None, extra, EPOCH0 + timedelta(seconds=s))
-            )
+
+    seq = np.arange(n_events, dtype=np.int64)
     df = pd.DataFrame(
-        rows,
-        columns=["seq", "txn_id", "op", "repo", "path", "commit", "lang", "content",
-                 "ddl", "extra", "ts"],
+        {
+            "seq": seq,
+            "txn_id": seq // txn_size,
+            "op": ops,
+            "repo": repo_l,
+            "path": path_l,
+            "commit": commit_l,
+            "lang": lang_l,
+            "content": content_l,
+            "ddl": ddl_l,
+            "extra": extra_l,
+            "ts": pd.Timestamp(EPOCH0) + pd.to_timedelta(seq, unit="s"),
+        }
     )
-    df["seq"] = df["seq"].astype("int64")
-    df["txn_id"] = df["txn_id"].astype("int64")
     return df
-
-
-def _pick_live(s: int, seed: int, n_base: int, versions: dict[int, int], deleted: list[int]) -> int:
-    """Pick an existing key, Zipf-skewed toward low (hot) indices."""
-    hi = n_base + len(versions)
-    for attempt in range(4):
-        k = int(hi * _u(f"{seed}|pick|{s}|{attempt}") ** 2.0)
-        if versions.get(k, 0 if k < n_base else -1) >= 0:
-            return k
-    return 0 if versions.get(0, 0) >= 0 else max(
-        (k for k, v in versions.items() if v >= 0), default=0
-    )
 
 
 def write_fixture(
@@ -203,7 +237,7 @@ def write_fixture(
     """
     os.makedirs(outdir, exist_ok=True)
     marker = os.path.join(outdir, "_FIXTURE")
-    stamp = f"{n_base}|{n_events}|{seed}|{n_event_files}|{with_ddl}"
+    stamp = f"v2|{n_base}|{n_events}|{seed}|{n_event_files}|{with_ddl}"
     base_path = os.path.join(outdir, "base.parquet")
     events_dir = os.path.join(outdir, "events")
     if os.path.exists(marker) and open(marker).read() == stamp:

@@ -126,9 +126,27 @@ class CdcIngestJob:
         return table
 
     # ------------------------------------------------------------ phase B
-    def run_incremental(self, available_now: bool = True, timeout_s: float | None = None):
+    def run_incremental(
+        self,
+        available_now: bool = True,
+        timeout_s: float | None = None,
+        start_seq: int | None = None,
+        stop_seq: int | None = None,
+    ):
         """Tail the event log from the snapshot fences (min-high start, per
-        reference IncrementalSplitAssigner.createIncrementalSplit:198-257)."""
+        reference IncrementalSplitAssigner.createIncrementalSplit:198-257).
+
+        Startup/stop modes (reference option/StartupMode.java, StopMode.java):
+        INITIAL = ensure_snapshot() then this; EARLIEST = skip the snapshot
+        (empty fences) and stream from seq 0; SPECIFIC_OFFSET/TIMESTAMP =
+        ``start_seq`` (resolve a timestamp to a seq with one query on the
+        log); StopMode SPECIFIC = ``stop_seq`` (bounded replay — the
+        reference's binlog task self-terminates at the stop offset,
+        MySqlBinlogFetchTask.handleEvent:138-163); availableNow = StopMode
+        LATEST. Filters compose with the per-chunk fences.
+        """
+        self._start_seq = start_seq
+        self._stop_seq = stop_seq
         stream = (
             self.spark.readStream.schema(event_schema())
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
@@ -154,6 +172,10 @@ class CdcIngestJob:
         t0 = time.time()
         table = LakeTable.load(self.table_root)
         fences = {int(b): int(w) for b, w in table.meta["properties"].get("fences", {}).items()}
+        if getattr(self, "_start_seq", None) is not None:
+            batch = batch.where(F.col("seq") >= self._start_seq)
+        if getattr(self, "_stop_seq", None) is not None:
+            batch = batch.where(F.col("seq") <= self._stop_seq)
         batch = batch.persist()
         try:
             # --- shouldEmit fence (fast path: seq >= max fence emits always;

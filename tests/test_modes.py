@@ -1,0 +1,86 @@
+"""Startup/stop modes (S15), save modes (K8), salted grouped apply."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from seatunnel_spark import oracle
+from seatunnel_spark.lake import LakeTable
+from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, event_schema
+from seatunnel_spark.sources import generator as gen
+from seatunnel_spark.streaming.job import CdcIngestJob
+
+
+def test_stop_at_specific_offset(spark, tmp_path):
+    """StopMode SPECIFIC: bounded replay to seq <= S must equal the oracle
+    over the truncated log (binlog task self-termination,
+    MySqlBinlogFetchTask.handleEvent:138-163)."""
+    paths = gen.write_fixture(str(tmp_path / "fx"), 150, 600, seed=11, n_event_files=4)
+    base = pd.read_parquet(paths["base"])
+    events = pd.read_parquet(paths["events"])
+    stop = 299
+    expected, _ = oracle.replay(base, events[events["seq"] <= stop])
+
+    job = CdcIngestJob(spark, str(tmp_path / "t"), paths["events"], str(tmp_path / "c"),
+                       num_buckets=4)
+    ev_df = spark.read.schema(event_schema()).parquet(paths["events"])
+    job.ensure_snapshot(spark.read.parquet(paths["base"]), ev_df, REPO_FIELDS, REPO_KEY,
+                        max_fence=0)
+    job.run_incremental(available_now=True, timeout_s=300, stop_seq=stop)
+
+    got = LakeTable.load(str(tmp_path / "t")).scan(spark).toPandas()
+    got = got.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert len(got) == len(expected)
+    assert (got["content"].values == expected["content"].values).all()
+
+
+def test_earliest_mode_no_snapshot(spark, tmp_path):
+    """StartupMode EARLIEST: no snapshot phase, stream the whole log into an
+    empty table — final state = oracle over events alone."""
+    paths = gen.write_fixture(str(tmp_path / "fx"), 100, 400, seed=12, n_event_files=3)
+    events = pd.read_parquet(paths["events"])
+    empty_base = pd.DataFrame(columns=["repo", "path", "commit", "lang", "content"])
+    expected, _ = oracle.replay(empty_base, events)
+
+    LakeTable.create(str(tmp_path / "t"), REPO_FIELDS, REPO_KEY, num_buckets=4)
+    job = CdcIngestJob(spark, str(tmp_path / "t"), paths["events"], str(tmp_path / "c"),
+                       num_buckets=4)
+    job.run_incremental(available_now=True, timeout_s=300)
+
+    got = LakeTable.load(str(tmp_path / "t")).scan(spark).toPandas()
+    assert len(got) == len(expected)
+    assert set(map(tuple, got[["repo", "path"]].values)) == set(
+        map(tuple, expected[["repo", "path"]].values)
+    )
+
+
+def test_save_modes(tmp_path):
+    root = str(tmp_path / "t")
+    t1 = LakeTable.create(root, REPO_FIELDS, REPO_KEY)
+    uuid1 = t1.meta["table_uuid"]
+    assert LakeTable.create(root, REPO_FIELDS, REPO_KEY, save_mode="keep").meta["table_uuid"] == uuid1
+    with pytest.raises(FileExistsError):
+        LakeTable.create(root, REPO_FIELDS, REPO_KEY, save_mode="error_if_exists")
+    t2 = LakeTable.create(root, REPO_FIELDS, REPO_KEY, save_mode="recreate")
+    assert t2.meta["table_uuid"] != uuid1
+
+
+def test_salted_grouped_apply_matches_plain_agg(spark):
+    from seatunnel_spark.entry_queries import QUERIES
+
+    out = QUERIES["pk_salted_apply_digest"](spark, "/root/testdata/sf0.001").toPandas()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.conv(F.substring(F.md5("text"), 1, 10), 16, 10).cast("bigint")).alias("digest"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .toPandas()
+    )
+    a = out.sort_values("source").reset_index(drop=True)
+    b = ref.sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
