@@ -37,6 +37,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # max_by/min_by (LWW reduce) are ObjectHashAggregate; the default
+        # 128-key sort fallback makes the reduce SORT full payload rows —
+        # measured 6x slower and anti-scaling on wide string rows. Budget:
+        # keys/partition × row size must fit executor memory; tune with
+        # shuffle partition count at scale.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -176,87 +176,82 @@ class CdcIngestJob:
             batch = batch.where(F.col("seq") >= self._start_seq)
         if getattr(self, "_stop_seq", None) is not None:
             batch = batch.where(F.col("seq") <= self._stop_seq)
-        batch = batch.persist()
-        try:
-            # --- shouldEmit fence (fast path: seq >= max fence emits always;
-            # the map lookup below subsumes it because fences are literals)
-            if fences and self.exactly_once:
-                dml = batch.where(F.col("op") != OP_DDL)
-                dml = (
-                    dml.withColumn("bucket", table.bucket_expr())
-                    .where(F.col("seq") >= fence_map_expr(fences)[F.col("bucket")])
-                    .drop("bucket")
-                )
-            else:
-                dml = batch.where(F.col("op") != OP_DDL)
 
-            # --- DDL-offset segmentation (tiny collect: DDLs are rare)
-            ddls = sorted(
-                (r["seq"], r["ddl"])
-                for r in batch.where(F.col("op") == OP_DDL).select("seq", "ddl").collect()
-            )
-            if not ddls:
-                # fast path (overwhelmingly common): one sub-transaction,
-                # no segmentation pass over the batch
-                merge_into(
-                    self.spark, table, project_to_table_schema(table, dml),
-                    epoch_id=f"b{batch_id}.s0",
-                )
-            else:
-                seg = F.lit(0)
-                for s, _ in ddls:
-                    seg = seg + (F.col("seq") > s).cast("int")
-                dml = dml.withColumn("_seg", seg).persist()
-                seg_counts = {
-                    r["_seg"]: r["n"]
-                    for r in dml.groupBy("_seg").agg(F.count("*").alias("n")).collect()
-                }
-                for i in range(len(ddls) + 1):
-                    if seg_counts.get(i, 0) > 0:
-                        segment = dml.where(F.col("_seg") == i).drop("_seg")
-                        projected = project_to_table_schema(table, segment)
-                        merge_into(self.spark, table, projected, epoch_id=f"b{batch_id}.s{i}")
-                    if i < len(ddls):
-                        s, payload = ddls[i]
-                        table.update_schema(
-                            SchemaChange.from_json(payload), epoch_id=f"b{batch_id}.d{s}"
-                        )
+        # The batch is never persisted: it is a parquet file set, so every
+        # pass is a pruned scan. Per batch exactly TWO kinds of passes run:
+        #   1. one narrow metadata pass (no `content`) that produces the
+        #      lineage rows, the applied-event count AND the DDL offsets;
+        #   2. the merge pass(es), which read the wide columns once, split
+        #      by seq-range predicates at DDL offsets (row-group pruning
+        #      keeps the total wide bytes ≈ one full pass).
+        is_ddl = F.col("op") == OP_DDL
+        fence_ok = (
+            F.col("seq") >= fence_map_expr(fences)[table.bucket_expr()]
+            if (fences and self.exactly_once)
+            else F.lit(True)
+        )
+        visible = batch.where(is_ddl | fence_ok)
 
-            # --- lineage: per-partition offset ranges + applied txn ids
-            # (collected once — ≤ one row per partition — then written
-            # driver-side so the batch isn't scanned a second time)
-            lin_rows = (
-                dml.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(
-                    F.min("seq").alias("seq_min"),
-                    F.max("seq").alias("seq_max"),
-                    F.collect_set("txn_id").alias("txn_ids"),
-                    F.count("*").alias("n_events"),
-                )
-                .collect()
+        meta_rows = (
+            visible.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.min(F.when(~is_ddl, F.col("seq"))).alias("seq_min"),
+                F.max(F.when(~is_ddl, F.col("seq"))).alias("seq_max"),
+                F.collect_set(F.when(~is_ddl, F.col("txn_id"))).alias("txn_ids"),
+                F.count(F.when(~is_ddl, F.lit(1))).alias("n_events"),
+                F.collect_list(
+                    F.when(is_ddl, F.struct(F.col("seq"), F.col("ddl")))
+                ).alias("ddls"),
             )
-            lineage = self.spark.createDataFrame(
-                [tuple(r) for r in lin_rows] or [(0, None, None, [], 0)],
-                "partition_id int, seq_min long, seq_max long, txn_ids array<long>, n_events long",
-            ).withColumn("batch_id", F.lit(batch_id).cast("long")).withColumn(
-                "committed_at", F.current_timestamp()
-            )
-            lineage.write.mode("append").parquet(self.lineage_dir)
+            .collect()
+        )
+        ddls = sorted(
+            (d["seq"], d["ddl"]) for r in meta_rows for d in r["ddls"] if d is not None
+        )
 
-            applied = int(sum(r["n_events"] for r in lin_rows)) + len(ddls)
-            self._events_applied += applied
-            self._write_metrics(
-                batch_id=batch_id,
-                phase="incremental",
-                events_applied=applied,
-                wall_ms=int((time.time() - t0) * 1000),
+        # --- DDL-offset sub-transactions (seq-bound predicates push down to
+        # parquet row groups; the log is seq-ordered, so each segment reads
+        # roughly its own bytes)
+        bounds = [None] + [s for s, _ in ddls] + [None]
+        dml_base = batch.where(~is_ddl).where(fence_ok)
+        for i in range(len(ddls) + 1):
+            seg = dml_base
+            if bounds[i] is not None:
+                seg = seg.where(F.col("seq") > bounds[i])
+            if bounds[i + 1] is not None:
+                seg = seg.where(F.col("seq") < bounds[i + 1])
+            merge_into(
+                self.spark, table, project_to_table_schema(table, seg),
+                epoch_id=f"b{batch_id}.s{i}",
             )
-        finally:
-            batch.unpersist()
-            try:
-                dml.unpersist()
-            except Exception:
-                pass
+            if i < len(ddls):
+                s, payload = ddls[i]
+                table.update_schema(
+                    SchemaChange.from_json(payload), epoch_id=f"b{batch_id}.d{s}"
+                )
+
+        # --- lineage written driver-side from the already-collected rows
+        lineage = self.spark.createDataFrame(
+            [
+                (r["partition_id"], r["seq_min"], r["seq_max"],
+                 [t for t in r["txn_ids"] if t is not None], r["n_events"])
+                for r in meta_rows
+            ]
+            or [(0, None, None, [], 0)],
+            "partition_id int, seq_min long, seq_max long, txn_ids array<long>, n_events long",
+        ).withColumn("batch_id", F.lit(batch_id).cast("long")).withColumn(
+            "committed_at", F.current_timestamp()
+        )
+        lineage.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+
+        applied = int(sum(r["n_events"] for r in meta_rows)) + len(ddls)
+        self._events_applied += applied
+        self._write_metrics(
+            batch_id=batch_id,
+            phase="incremental",
+            events_applied=applied,
+            wall_ms=int((time.time() - t0) * 1000),
+        )
 
     # ------------------------------------------------------------ side tables
     def _write_lineage_snapshot(self, table: LakeTable, fences: dict[int, int]) -> None:

@@ -40,6 +40,7 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
