@@ -140,6 +140,35 @@ def merge_into(
     }
 
 
+def expire_tombstones(
+    spark: SparkSession,
+    table: LakeTable,
+    before_seq: int,
+    epoch_id: str,
+) -> dict:
+    """Drop delete tombstones with ``_seq < before_seq`` during a full
+    rewrite. Only legal once the source can no longer replay offsets below
+    ``before_seq`` (the checkpoint horizon) — before that, a tombstone is
+    what stops an out-of-order old event from resurrecting its key. Same
+    contract as Iceberg's delete-file compaction / Paimon's full compact."""
+    table.refresh()
+    if table.epoch_committed(epoch_id):
+        return {"skipped": True}
+    all_rows = table.scan(spark, include_meta=True)
+    kept = all_rows.where(
+        (F.col("_op") != "D") | (F.col("_seq") >= before_seq)
+    ).withColumn("bucket", table.bucket_expr())
+    new_files = _write_bucketed(table, kept, table.num_buckets)
+    for b in range(table.num_buckets):
+        new_files.setdefault(b, [])
+    committed = table.commit_snapshot(
+        new_files, epoch_id,
+        {"operation": "expire-tombstones", "before_seq": before_seq},
+        mode="replace",
+    )
+    return {"skipped": not committed, "buckets": table.num_buckets}
+
+
 def maybe_compact(
     spark: SparkSession,
     table: LakeTable,

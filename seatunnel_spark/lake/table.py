@@ -290,6 +290,38 @@ class LakeTable:
             return {}
         return {int(b): len(fs) for b, fs in snap["bucket_files"].items()}
 
+    # ------------------------------------------------------------ maintenance
+    def vacuum(self) -> dict:
+        """Delete data files not referenced by any retained snapshot —
+        Iceberg's remove_orphan_files + expire_snapshots in one step (the
+        metadata already retains a bounded snapshot history). Safe w.r.t.
+        readers of retained snapshots only, like Iceberg."""
+        self.refresh()
+        referenced: set[str] = set()
+        for snap in self.meta["snapshots"]:
+            for files in snap["bucket_files"].values():
+                for f in files:
+                    referenced.add(os.path.normpath(f["path"]))
+        data_root = os.path.join(self.root, "data")
+        removed = 0
+        kept = 0
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                abs_path = os.path.join(dirpath, fn)
+                rel = os.path.normpath(os.path.relpath(abs_path, self.root))
+                if rel in referenced:
+                    kept += 1
+                else:
+                    os.unlink(abs_path)
+                    removed += 1
+        # prune now-empty staging dirs
+        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not dirnames and not filenames:
+                os.rmdir(dirpath)
+        return {"removed_files": removed, "kept_files": kept}
+
     # ------------------------------------------------------------ commits
     def commit_snapshot(
         self,

@@ -1,0 +1,67 @@
+"""Lake maintenance: vacuum (orphan/expired file removal), tombstone expiry."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from seatunnel_spark.lake import LakeTable, merge_into
+from seatunnel_spark.lake.merge import expire_tombstones
+from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string, op string, seq long"
+    )
+
+
+def _count_parquet(root):
+    return sum(
+        1 for dp, _, fns in os.walk(os.path.join(root, "data"))
+        for f in fns if f.endswith(".parquet")
+    )
+
+
+def test_vacuum_removes_unreferenced_files(spark, tmp_path):
+    table = LakeTable.create(str(tmp_path / "t"), REPO_FIELDS, REPO_KEY, num_buckets=2)
+    # deep stack + compaction -> old delta files become unreferenced once
+    # the snapshot history window (50) slides; force it by many commits
+    for i in range(6):
+        merge_into(
+            spark, table,
+            _batch(spark, [("o/r", "a.py", f"c{i}", "py", f"v{i}", "U", i)]),
+            f"e{i}", compact_threshold=2,
+        )
+    n_before = _count_parquet(table.root)
+    # drop history to current snapshot only, then vacuum
+    table._commit(lambda m: m.update(snapshots=[s for s in m["snapshots"]
+                                                if s["snapshot_id"] == m["current_snapshot_id"]]) or True)
+    stats = table.vacuum()
+    n_after = _count_parquet(table.root)
+    assert stats["removed_files"] > 0
+    assert n_after < n_before
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert got["a.py"]["content"] == "v5"  # current state intact
+
+
+def test_expire_tombstones(spark, tmp_path):
+    table = LakeTable.create(str(tmp_path / "t"), REPO_FIELDS, REPO_KEY, num_buckets=2)
+    rows = [
+        ("o/r", "a.py", "c1", "py", "va", "I", 1),
+        ("o/r", "b.py", "c2", "py", "vb", "I", 2),
+        ("o/r", "b.py", None, None, None, "D", 3),       # old tombstone
+        ("o/r", "c.py", "c3", "py", "vc", "I", 4),
+        ("o/r", "c.py", None, None, None, "D", 900),     # recent tombstone
+    ]
+    merge_into(spark, table, _batch(spark, rows), "e1")
+    meta = table.scan(spark, include_meta=True)
+    assert meta.where(F.col("_op") == "D").count() == 2
+
+    expire_tombstones(spark, table, before_seq=500, epoch_id="exp1")
+    meta = table.scan(spark, include_meta=True)
+    tombs = {r["path"] for r in meta.where(F.col("_op") == "D").collect()}
+    assert tombs == {"c.py"}  # old tombstone dropped, recent kept
+    assert {r["path"] for r in table.scan(spark).collect()} == {"a.py"}
+
+    # idempotent
+    assert expire_tombstones(spark, table, 500, "exp1")["skipped"] is True
