@@ -76,10 +76,17 @@ def merge_into(
     extra_summary: dict | None = None,
     properties_update: dict | None = None,
     compact_threshold: int = COMPACT_THRESHOLD,
+    collect_stats: bool = True,
 ) -> dict:
     """Apply a change batch as one atomic delta commit (+ compaction when a
     bucket's file stack is deep). ``batch`` columns: current table schema
-    columns + ``op`` ('I'/'U'/'D') + ``seq``. Idempotent by epoch_id."""
+    columns + ``op`` ('I'/'U'/'D') + ``seq``. Idempotent by epoch_id.
+
+    ``collect_stats=False`` skips the per-bucket stats pass (and the cache it
+    needs) so the merge is exactly ONE Spark action — reduce + write; the
+    streaming job uses this because its metadata pass already knows the
+    batch's seq range and count.
+    """
     table.refresh()
     if table.epoch_committed(epoch_id):
         return {"skipped": True, "epoch_id": epoch_id}
@@ -98,32 +105,35 @@ def merge_into(
         .select(*key, "_r.*")
         .withColumnRenamed("op", "_op")
         .withColumnRenamed("seq", "_seq")
-    ).persist()
+    )
 
-    # single pass for per-bucket counts + seq range (drives the commit)
-    stats = reduced.groupBy("bucket").agg(
-        F.count("*").alias("n"), F.min("_seq").alias("lo"), F.max("_seq").alias("hi")
-    ).collect()
-    affected = sorted(r["bucket"] for r in stats)
-    if not affected:
+    stats = None
+    if collect_stats:
+        reduced = reduced.persist()
+        stats = reduced.groupBy("bucket").agg(
+            F.count("*").alias("n"), F.min("_seq").alias("lo"), F.max("_seq").alias("hi")
+        ).collect()
+        if not stats:
+            reduced.unpersist()
+            table.commit_snapshot(
+                {}, epoch_id, {"rows_written": 0, **(extra_summary or {})},
+                properties_update=properties_update,
+            )
+            return {"epoch_id": epoch_id, "batch_rows": 0, "buckets": []}
+
+    new_files = _write_bucketed(table, reduced, table.num_buckets)
+    if collect_stats:
         reduced.unpersist()
-        table.commit_snapshot(
-            {}, epoch_id, {"rows_written": 0, **(extra_summary or {})},
-            properties_update=properties_update,
+    affected = sorted(new_files)
+
+    summary = {"operation": "merge-delta", "buckets_touched": len(affected)}
+    if stats is not None:
+        summary.update(
+            batch_rows=int(sum(r["n"] for r in stats)),
+            seq_min=min(r["lo"] for r in stats),
+            seq_max=max(r["hi"] for r in stats),
         )
-        return {"epoch_id": epoch_id, "batch_rows": 0, "buckets": []}
-
-    new_files = _write_bucketed(table, reduced, len(affected))
-    reduced.unpersist()
-
-    summary = {
-        "operation": "merge-delta",
-        "batch_rows": int(sum(r["n"] for r in stats)),
-        "seq_min": min(r["lo"] for r in stats),
-        "seq_max": max(r["hi"] for r in stats),
-        "buckets_touched": len(affected),
-        **(extra_summary or {}),
-    }
+    summary.update(extra_summary or {})
     committed = table.commit_snapshot(
         new_files, epoch_id, summary, properties_update=properties_update, mode="append"
     )
@@ -132,9 +142,9 @@ def merge_into(
     return {
         "epoch_id": epoch_id,
         "skipped": not committed,
-        "batch_rows": summary["batch_rows"],
-        "seq_min": summary["seq_min"],
-        "seq_max": summary["seq_max"],
+        "batch_rows": summary.get("batch_rows"),
+        "seq_min": summary.get("seq_min"),
+        "seq_max": summary.get("seq_max"),
         "buckets": affected,
         "compacted_buckets": compacted,
     }

@@ -61,12 +61,21 @@ def run_snapshot_phase(
     events: DataFrame,
     fences: dict[int, int],
     epoch_id: str = "snapshot.0",
+    chunk_groups: int = 1,
 ) -> dict:
     """Build the initial table state: base ⊎ in-window events, normalized.
 
     ``events`` is the full bounded log (only rows with seq < fence[bucket]
     participate — the reference reads the log tail up to HIGH per chunk).
     Returns merge stats. Idempotent via the epoch ledger.
+
+    ``chunk_groups > 1`` commits the snapshot in per-bucket-group epochs
+    (``{epoch_id}.g{i}``): a crash mid-snapshot resumes at the last
+    uncommitted group — the reference's chunk-level snapshot resumability
+    (SnapshotSplitAssigner re-offers unfinished splits on restore,
+    SnapshotSplitAssigner.java:198-237, IncrementalSource.restoreEnumerator
+    :234-274). One group == one declarative job, so groups trade restart
+    granularity against per-commit overhead.
     """
     table.refresh()
     if table.epoch_committed(epoch_id):
@@ -102,12 +111,31 @@ def run_snapshot_phase(
     window_rows = project_to_table_schema(table, in_window)
 
     batch = base_rows.unionByName(window_rows)
-    stats = merge_into(
-        spark,
-        table,
-        batch,
-        epoch_id,
-        extra_summary={"phase": "snapshot", "fences_max": max_fence},
-        properties_update={"fences": {str(b): int(w) for b, w in fences.items()}},
-    )
+    fences_prop = {"fences": {str(b): int(w) for b, w in fences.items()}}
+
+    if chunk_groups <= 1:
+        return merge_into(
+            spark, table, batch, epoch_id,
+            extra_summary={"phase": "snapshot", "fences_max": max_fence},
+            properties_update=fences_prop,
+        )
+
+    groups = [
+        [b for b in range(table.num_buckets) if b % chunk_groups == g]
+        for g in range(chunk_groups)
+    ]
+    stats = {"groups": 0, "skipped_groups": 0}
+    for g, buckets in enumerate(groups):
+        g_epoch = f"{epoch_id}.g{g}"
+        g_batch = batch.where(table.bucket_expr().isin(buckets))
+        res = merge_into(
+            spark, table, g_batch, g_epoch,
+            extra_summary={"phase": "snapshot", "group": g, "fences_max": max_fence},
+            properties_update=fences_prop,
+        )
+        stats["groups"] += 1
+        stats["skipped_groups"] += 1 if res.get("skipped") else 0
+    # final marker epoch: phase A complete (the hybrid assigner's
+    # "all splits finished" gate, HybridSplitAssigner.getNext:91-109)
+    table.commit_snapshot({}, epoch_id, {"phase": "snapshot-complete"})
     return stats

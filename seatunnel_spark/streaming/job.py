@@ -212,17 +212,26 @@ class CdcIngestJob:
         # --- DDL-offset sub-transactions (seq-bound predicates push down to
         # parquet row groups; the log is seq-ordered, so each segment reads
         # roughly its own bytes)
+        seq_mins = [r["seq_min"] for r in meta_rows if r["seq_min"] is not None]
+        seq_maxs = [r["seq_max"] for r in meta_rows if r["seq_max"] is not None]
+        batch_lo = min(seq_mins) if seq_mins else None
+        batch_hi = max(seq_maxs) if seq_maxs else None
         bounds = [None] + [s for s, _ in ddls] + [None]
         dml_base = batch.where(~is_ddl).where(fence_ok)
         for i in range(len(ddls) + 1):
             seg = dml_base
+            seg_lo, seg_hi = batch_lo, batch_hi
             if bounds[i] is not None:
                 seg = seg.where(F.col("seq") > bounds[i])
+                seg_lo = max(batch_lo, bounds[i] + 1) if batch_lo is not None else None
             if bounds[i + 1] is not None:
                 seg = seg.where(F.col("seq") < bounds[i + 1])
+                seg_hi = min(batch_hi, bounds[i + 1] - 1) if batch_hi is not None else None
             merge_into(
                 self.spark, table, project_to_table_schema(table, seg),
                 epoch_id=f"b{batch_id}.s{i}",
+                collect_stats=False,
+                extra_summary={"seq_min": seg_lo, "seq_max": seg_hi},
             )
             if i < len(ddls):
                 s, payload = ddls[i]
