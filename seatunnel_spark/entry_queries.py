@@ -769,6 +769,54 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+def _make_ann_lsh_query():
+    """ann_lsh_buckets: random-hyperplane signatures, bucket histogram.
+    The hyperplanes are deterministic md5-seeded literals EMBEDDED in both
+    the Spark plan and the oracle SQL, so the two engines compute identical
+    signs (dot products rounded to 6dp before the sign test to keep borderline
+    values bit-stable)."""
+    from seatunnel_spark.operators.similarity import _hyperplane
+
+    dim, planes = 64, 6
+    hps = [_hyperplane(dim, p) for p in range(planes)]
+
+    sign_terms_sql = " + ".join(
+        f"(CASE WHEN round(list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(v) for v in hp)}]::DOUBLE[]), 6) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, hp in enumerate(hps)
+    )
+    sql = f"""
+    SELECT lsh_sig, count(*) AS n_vecs
+    FROM (SELECT ({sign_terms_sql}) AS lsh_sig FROM embeddings)
+    GROUP BY lsh_sig
+    """
+
+    def q(spark, sf_dir):
+        from seatunnel_spark.operators.similarity import _dot
+
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        sig = F.lit(0)
+        for p, hp in enumerate(hps):
+            h = F.array(*[F.lit(v) for v in hp])
+            sig = sig + F.when(
+                F.round(_dot(F.col("embedding"), h), 6) >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        return (
+            emb.select(sig.cast("int").alias("lsh_sig"))
+            .groupBy("lsh_sig")
+            .agg(F.count("*").alias("n_vecs"))
+        )
+
+    return q, sql
+
+
+_ann_lsh_q, _ann_lsh_sql = _make_ann_lsh_query()
+QUERIES["ann_lsh_buckets"] = _ann_lsh_q
+ORACLES["ann_lsh_buckets"] = _ann_lsh_sql
+
+
 @_reg(
     "text_token_count",
     f"""

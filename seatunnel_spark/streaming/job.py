@@ -48,6 +48,58 @@ from seatunnel_spark.operators.snapshot import (
 )
 from seatunnel_spark.schema import OP_DDL, SchemaChange, event_schema
 
+_LINEAGE_ARROW_SCHEMA = None
+_METRICS_ARROW_SCHEMA = None
+
+
+def _arrow_schemas():
+    import pyarrow as pa
+
+    global _LINEAGE_ARROW_SCHEMA, _METRICS_ARROW_SCHEMA
+    if _LINEAGE_ARROW_SCHEMA is None:
+        _LINEAGE_ARROW_SCHEMA = pa.schema(
+            [
+                ("partition_id", pa.int32()),
+                ("seq_min", pa.int64()),
+                ("seq_max", pa.int64()),
+                ("txn_ids", pa.list_(pa.int64())),
+                ("n_events", pa.int64()),
+                ("batch_id", pa.int64()),
+                ("committed_at", pa.timestamp("us", tz="UTC")),
+            ]
+        )
+        _METRICS_ARROW_SCHEMA = pa.schema(
+            [
+                ("batch_id", pa.int64()),
+                ("events_applied", pa.int64()),
+                ("events_per_sec", pa.float64()),
+                ("lag_events", pa.int64()),
+                ("wall_ms", pa.int64()),
+                ("phase", pa.string()),
+            ]
+        )
+    return _LINEAGE_ARROW_SCHEMA, _METRICS_ARROW_SCHEMA
+
+
+def _now_us():
+    from datetime import datetime, timezone
+
+    return datetime.now(timezone.utc)
+
+
+def _append_parquet(dir_path: str, columns: dict, schema) -> None:
+    """Driver-side atomic-enough append of a tiny side-table row group."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    lineage_schema, metrics_schema = _arrow_schemas()
+    schema = lineage_schema if schema == "lineage" else metrics_schema
+    table = pa.table(columns, schema=schema)
+    pq.write_table(table, os.path.join(dir_path, f"part-{uuid.uuid4().hex}.parquet"))
+
 
 def project_to_table_schema(table: LakeTable, events: DataFrame) -> DataFrame:
     """Project wire-format events onto the table's *current* schema.
@@ -239,19 +291,25 @@ class CdcIngestJob:
                     SchemaChange.from_json(payload), epoch_id=f"b{batch_id}.d{s}"
                 )
 
-        # --- lineage written driver-side from the already-collected rows
-        lineage = self.spark.createDataFrame(
-            [
-                (r["partition_id"], r["seq_min"], r["seq_max"],
-                 [t for t in r["txn_ids"] if t is not None], r["n_events"])
-                for r in meta_rows
-            ]
-            or [(0, None, None, [], 0)],
-            "partition_id int, seq_min long, seq_max long, txn_ids array<long>, n_events long",
-        ).withColumn("batch_id", F.lit(batch_id).cast("long")).withColumn(
-            "committed_at", F.current_timestamp()
+        # --- lineage written driver-side from the already-collected rows.
+        # Plain pyarrow append (no Spark job): a tiny createDataFrame→write
+        # costs a Python-parallelize stage (~seconds of worker spin-up) per
+        # batch, which dominated the per-batch floor in profiling.
+        _append_parquet(
+            self.lineage_dir,
+            {
+                "partition_id": [r["partition_id"] for r in meta_rows] or [0],
+                "seq_min": [r["seq_min"] for r in meta_rows] or [None],
+                "seq_max": [r["seq_max"] for r in meta_rows] or [None],
+                "txn_ids": [
+                    sorted(t for t in r["txn_ids"] if t is not None) for r in meta_rows
+                ] or [[]],
+                "n_events": [r["n_events"] for r in meta_rows] or [0],
+                "batch_id": [batch_id] * (len(meta_rows) or 1),
+                "committed_at": [_now_us()] * (len(meta_rows) or 1),
+            },
+            "lineage",
         )
-        lineage.coalesce(1).write.mode("append").parquet(self.lineage_dir)
 
         applied = int(sum(r["n_events"] for r in meta_rows)) + len(ddls)
         self._events_applied += applied
@@ -264,16 +322,20 @@ class CdcIngestJob:
 
     # ------------------------------------------------------------ side tables
     def _write_lineage_snapshot(self, table: LakeTable, fences: dict[int, int]) -> None:
-        rows = [
-            (-1, int(b), -1, int(w) - 1, [], 0)
-            for b, w in fences.items()
-        ]
-        df = self.spark.createDataFrame(
-            rows, "batch_id long, partition_id int, seq_min long, seq_max long, txn_ids array<long>, n_events long"
-        ).withColumn("committed_at", F.current_timestamp())
-        df.select(
-            "partition_id", "seq_min", "seq_max", "txn_ids", "n_events", "batch_id", "committed_at"
-        ).write.mode("append").parquet(self.lineage_dir)
+        n = len(fences)
+        _append_parquet(
+            self.lineage_dir,
+            {
+                "partition_id": [int(b) for b in fences],
+                "seq_min": [-1] * n,
+                "seq_max": [int(w) - 1 for w in fences.values()],
+                "txn_ids": [[] for _ in range(n)],
+                "n_events": [0] * n,
+                "batch_id": [-1] * n,
+                "committed_at": [_now_us()] * n,
+            },
+            "lineage",
+        )
 
     def _write_metrics(self, batch_id: int, phase: str, events_applied: int, wall_ms: int) -> None:
         lag = (
@@ -282,8 +344,15 @@ class CdcIngestJob:
             else None
         )
         rate = events_applied / (wall_ms / 1000.0) if wall_ms > 0 else None
-        df = self.spark.createDataFrame(
-            [(batch_id, events_applied, rate, lag, wall_ms, phase)],
-            "batch_id long, events_applied long, events_per_sec double, lag_events long, wall_ms long, phase string",
+        _append_parquet(
+            self.metrics_dir,
+            {
+                "batch_id": [batch_id],
+                "events_applied": [events_applied],
+                "events_per_sec": [rate],
+                "lag_events": [lag],
+                "wall_ms": [wall_ms],
+                "phase": [phase],
+            },
+            "metrics",
         )
-        df.write.mode("append").parquet(self.metrics_dir)
