@@ -61,7 +61,10 @@ def run_cdc_replay(spark) -> dict:
     paths = gen.write_fixture(fx_dir, CDC_BASE, CDC_EVENTS, seed=42, n_event_files=8)
     log(f"fixture ready in {time.time()-t0:.1f}s")
 
-    work = os.path.join(CACHE, "bench_run")
+    # table + checkpoint on tmpfs when available: models per-executor local
+    # storage (the shared sandbox disk is not what a cluster bottlenecks on)
+    work_base = "/dev/shm/cdc_bench" if os.path.isdir("/dev/shm") else CACHE
+    work = os.path.join(work_base, "bench_run")
     shutil.rmtree(work, ignore_errors=True)
     job = CdcIngestJob(
         spark,
@@ -131,7 +134,12 @@ def main() -> None:
     from seatunnel_spark.session import get_spark
 
     os.makedirs(CACHE, exist_ok=True)
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/spark-tmp"
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+                      extra_conf=extra)
 
     cdc = run_cdc_replay(spark)
 

@@ -43,30 +43,7 @@ from seatunnel_spark.lake.table import LakeTable
 
 COMPACT_THRESHOLD = 8
 
-def lww_reduce(batch, key: list[str], strategy: str = "auto"):
-    """One row per key: the one with the max ``seq`` (LWW, tombstones kept).
-
-    Two physical plans:
-    - ``max_by``: one aggregate. Carries full rows in its hash buffers
-      (map-side AND final) — fastest for narrow rows, GC-heavy when rows
-      are KBs.
-    - ``semi_join``: find (key, max seq) on NARROW columns (cheap,
-      map-side combinable), then keep the winning wide rows with a
-      buffer-free shuffled hash semi-join — wide bytes cross the wire once
-      and never sit in aggregation state. Preferred for wide payloads.
-    ``auto`` picks semi_join when a wide text column is present.
-    """
-    payload = [c for c in batch.columns if c not in key]
-    if strategy == "auto":
-        strategy = "semi_join" if "content" in batch.columns else "max_by"
-    if strategy == "max_by":
-        return (
-            batch.groupBy(*key)
-            .agg(F.max_by(F.struct(*payload), F.col("seq")).alias("_r"))
-            .select(*key, "_r.*")
-        )
-    winners = batch.groupBy(*key).agg(F.max("seq").alias("seq"))
-    return batch.hint("shuffle_hash").join(winners, [*key, "seq"], "leftsemi")
+from seatunnel_spark.operators.dedup import lww_reduce  # noqa: E402  (shared reducer)
 
 
 def _write_bucketed(table: LakeTable, df: DataFrame, n_partitions: int) -> dict[int, list[dict]]:

@@ -245,9 +245,9 @@ class LakeTable:
             parts.append(compacted)
         layered = self._read_aligned(spark, multi_files, cur)
         if layered is not None:
-            from seatunnel_spark.operators.dedup import lww_dedup_agg
+            from seatunnel_spark.operators.dedup import lww_reduce
 
-            parts.append(lww_dedup_agg(layered, self.key, "_seq"))
+            parts.append(lww_reduce(layered, self.key, "_seq"))
 
         if not parts:
             return finish(spark.createDataFrame([], empty_schema))

@@ -39,3 +39,27 @@ def lww_dedup_agg(df: DataFrame, key: list[str], order_col: str = "seq") -> Data
         .agg(F.max_by(F.struct(*payload), F.col(order_col)).alias("_r"))
         .select(*key, "_r.*")
     )
+
+
+def lww_reduce(
+    df: DataFrame, key: list[str], order_col: str = "seq", strategy: str = "auto"
+) -> DataFrame:
+    """One row per key: the one with the max ``order_col`` (LWW).
+
+    Two physical plans:
+    - ``max_by``: one aggregate; carries full rows in its hash buffers
+      (map-side AND final) — fastest for narrow rows, GC-heavy when rows
+      are KBs.
+    - ``semi_join``: find (key, max order) on NARROW columns (cheap,
+      map-side combinable), then keep the winning wide rows with a
+      buffer-free shuffled hash semi-join (hash table built on the narrow
+      winners) — wide bytes cross the wire once and never sit in
+      aggregation state. Preferred for wide payloads.
+    ``auto`` picks semi_join when a wide text column is present.
+    """
+    if strategy == "auto":
+        strategy = "semi_join" if "content" in df.columns else "max_by"
+    if strategy == "max_by":
+        return lww_dedup_agg(df, key, order_col)
+    winners = df.groupBy(*key).agg(F.max(order_col).alias(order_col))
+    return df.join(winners.hint("shuffle_hash"), [*key, order_col], "leftsemi")
