@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CDC_BASE = int(os.environ.get("BENCH_CDC_BASE", "200000"))
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
+CDC_BASE = int(os.environ.get("BENCH_CDC_BASE", "500000"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
 CACHE = os.environ.get("BENCH_CACHE", "/root/repo/.cache")
 
 HEADLINE = [
@@ -51,14 +51,14 @@ def log(msg: str) -> None:
 
 def run_cdc_replay(spark) -> dict:
     from seatunnel_spark.lake import LakeTable
-    from seatunnel_spark.operators.dedup import lww_dedup_agg
+    from seatunnel_spark.operators.dedup import lww_reduce
     from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, event_schema
     from seatunnel_spark.sources import generator as gen
     from seatunnel_spark.streaming.job import CdcIngestJob, project_to_table_schema
 
     fx_dir = os.path.join(CACHE, f"cdc_{CDC_BASE}_{CDC_EVENTS}")
     t0 = time.time()
-    paths = gen.write_fixture(fx_dir, CDC_BASE, CDC_EVENTS, seed=42, n_event_files=8)
+    paths = gen.write_fixture(fx_dir, CDC_BASE, CDC_EVENTS, seed=42, n_event_files=16)
     log(f"fixture ready in {time.time()-t0:.1f}s")
 
     # table + checkpoint on tmpfs when available: models per-executor local
@@ -106,7 +106,7 @@ def run_cdc_replay(spark) -> dict:
         ),
     )
     ref = (
-        lww_dedup_agg(base_proj.unionByName(ref_events), REPO_KEY, "seq")
+        lww_reduce(base_proj.unionByName(ref_events), REPO_KEY, "seq")
         .where(F.col("op") != "D")
     )
     exp = ref.agg(

@@ -483,6 +483,36 @@ def f_math_funcs(spark, sf_dir):
 
 
 @_reg(
+    "f_string_funcs2",
+    """
+    SELECT doc_id,
+           repeat(lang, 3) AS rep3,
+           replace(source, 'src', 'origin_') AS srcr,
+           strpos(text, 'the') AS pos_the,
+           left(text, 5) AS l5,
+           right(source, 2) AS r2,
+           contains(text, 'spark') AS has_spark,
+           rtrim(ltrim('  ' || lang || '  ')) AS trimmed
+    FROM documents
+    """,
+)
+def f_string_funcs2(spark, sf_dir):
+    """Second string-function batch: REPEAT/REPLACE/POSITION/LEFT/RIGHT/
+    CONTAINS/TRIM family (reference StringFunction.java)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.repeat("lang", 3).alias("rep3"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("origin_")).alias("srcr"),
+        F.instr(F.col("text"), "the").cast("bigint").alias("pos_the"),
+        F.substring("text", 1, 5).alias("l5"),
+        F.substring(F.col("source"), -2, 2).alias("r2"),
+        F.contains(F.col("text"), F.lit("spark")).alias("has_spark"),
+        F.rtrim(F.ltrim(F.concat(F.lit("  "), F.col("lang"), F.lit("  ")))).alias("trimmed"),
+    )
+
+
+@_reg(
     "f_system_funcs",
     """
     SELECT event_id,

@@ -51,7 +51,7 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(cores))
 
     from seatunnel_spark.lake import LakeTable
-    from seatunnel_spark.operators.dedup import lww_dedup_agg
+    from seatunnel_spark.operators.dedup import lww_reduce
     from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, event_schema
     from seatunnel_spark.streaming.job import CdcIngestJob, project_to_table_schema
 
@@ -92,7 +92,7 @@ def main() -> None:
         .withColumn("ddl", F.lit(None).cast("string"))
         .withColumn("extra", F.lit(None).cast("string"))
     )
-    ref = lww_dedup_agg(
+    ref = lww_reduce(
         project_to_table_schema(table, base_rows).unionByName(
             project_to_table_schema(table, events_df.where(F.col("op") != "DDL"))
         ),
