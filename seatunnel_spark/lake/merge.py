@@ -160,6 +160,11 @@ def expire_tombstones(
     table.refresh()
     if table.epoch_committed(epoch_id):
         return {"skipped": True}
+    snap = table.current_snapshot()
+    scanned = {
+        b: list((snap or {}).get("bucket_files", {}).get(str(b), []))
+        for b in range(table.num_buckets)
+    }
     all_rows = table.scan(spark, include_meta=True)
     kept = all_rows.where(
         (F.col("_op") != "D") | (F.col("_seq") >= before_seq)
@@ -167,10 +172,13 @@ def expire_tombstones(
     new_files = _write_bucketed(table, kept, table.num_buckets)
     for b in range(table.num_buckets):
         new_files.setdefault(b, [])
+    # replace-mode rewrite validated against the scanned snapshot: a delta
+    # appended concurrently to any bucket aborts the rewrite (never dropped)
     committed = table.commit_snapshot(
         new_files, epoch_id,
         {"operation": "expire-tombstones", "before_seq": before_seq},
         mode="replace",
+        expected_bucket_files=scanned,
     )
     return {"skipped": not committed, "buckets": table.num_buckets}
 
@@ -191,16 +199,22 @@ def maybe_compact(
     c_epoch = f"{epoch_id}.compact"
     if table.epoch_committed(c_epoch):
         return deep
+    snap = table.current_snapshot()
+    scanned = {b: list(snap["bucket_files"].get(str(b), [])) for b in deep}
     merged = table.scan(spark, buckets=deep, include_meta=True).withColumn(
         "bucket", table.bucket_expr()
     )
     new_files = _write_bucketed(table, merged, len(deep))
     for b in deep:
         new_files.setdefault(b, [])  # bucket may reduce to nothing but tombstones? keep empty
-    table.commit_snapshot(
+    # Validated replace: if a concurrent writer appended a delta to one of
+    # these buckets after the scan, abort (the stack stays deep and the next
+    # batch retries compaction) rather than drop the concurrent delta.
+    committed = table.commit_snapshot(
         new_files,
         c_epoch,
         {"operation": "compact", "buckets": deep},
         mode="replace",
+        expected_bucket_files=scanned,
     )
-    return deep
+    return deep if committed else []

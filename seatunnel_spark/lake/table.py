@@ -291,12 +291,21 @@ class LakeTable:
         return {int(b): len(fs) for b, fs in snap["bucket_files"].items()}
 
     # ------------------------------------------------------------ maintenance
-    def vacuum(self) -> dict:
+    def vacuum(self, older_than_s: float = 600.0) -> dict:
         """Delete data files not referenced by any retained snapshot —
         Iceberg's remove_orphan_files + expire_snapshots in one step (the
         metadata already retains a bounded snapshot history). Safe w.r.t.
-        readers of retained snapshots only, like Iceberg."""
+        readers of retained snapshots only, like Iceberg.
+
+        ``older_than_s``: grace period — only files whose mtime is older are
+        deleted, so files staged by an in-flight writer (written before its
+        commit_snapshot lands) are never swept. Iceberg's remove_orphan_files
+        requires the same older-than cutoff for exactly this race; pass 0
+        only when no writer can be active."""
+        import time as _time
+
         self.refresh()
+        cutoff = _time.time() - older_than_s
         referenced: set[str] = set()
         for snap in self.meta["snapshots"]:
             for files in snap["bucket_files"].values():
@@ -311,7 +320,7 @@ class LakeTable:
                     continue
                 abs_path = os.path.join(dirpath, fn)
                 rel = os.path.normpath(os.path.relpath(abs_path, self.root))
-                if rel in referenced:
+                if rel in referenced or os.path.getmtime(abs_path) > cutoff:
                     kept += 1
                 else:
                     os.unlink(abs_path)
@@ -330,6 +339,7 @@ class LakeTable:
         summary: dict,
         properties_update: dict | None = None,
         mode: str = "replace",
+        expected_bucket_files: dict[int, list[dict]] | None = None,
     ) -> bool:
         """Swap in a snapshot changing the file lists of the given buckets.
 
@@ -338,18 +348,29 @@ class LakeTable:
         merge-on-read deltas — reads LWW-reduce across a bucket's files, so
         a delta commit costs O(batch), never O(table). Returns False (no-op)
         if ``epoch_id`` was already applied.
+
+        ``expected_bucket_files``: for replace-mode rewrites, the file lists
+        the rewrite was *scanned from*. If a concurrent writer appended to an
+        affected bucket between the scan and this (possibly CAS-retried)
+        commit, the commit aborts instead of silently dropping the delta —
+        the same rewrite validation Iceberg performs (validateFromSnapshot).
         """
 
         def mutate(meta: dict):
             if epoch_id in meta["epochs"]:
                 return False
-            if properties_update:
-                meta["properties"].update(properties_update)
             prev = None
             if meta["current_snapshot_id"] is not None:
                 prev = next(
                     s for s in meta["snapshots"] if s["snapshot_id"] == meta["current_snapshot_id"]
                 )
+            if expected_bucket_files is not None:
+                live = prev["bucket_files"] if prev else {}
+                for b in new_bucket_files:
+                    if live.get(str(b), []) != expected_bucket_files.get(int(b), []):
+                        return False  # concurrent append since the scan: abort
+            if properties_update:
+                meta["properties"].update(properties_update)
             bucket_files = dict(prev["bucket_files"]) if prev else {}
             for b, files in new_bucket_files.items():
                 if mode == "append":

@@ -56,10 +56,24 @@ def lww_reduce(
       winners) — wide bytes cross the wire once and never sit in
       aggregation state. Preferred for wide payloads.
     ``auto`` picks semi_join when a wide text column is present.
+
+    Ties: rows equal on (key, order_col) are broken deterministically by
+    max xxhash64(payload), so the one-row-per-key contract holds even for
+    sources with non-unique ordering values (e.g. timestamp-ordered input).
+    The tie-break aggregate groups on the semi-join's own join keys, so
+    Catalyst reuses the join's partitioning — no extra exchange.
     """
     if strategy == "auto":
         strategy = "semi_join" if "content" in df.columns else "max_by"
     if strategy == "max_by":
         return lww_dedup_agg(df, key, order_col)
     winners = df.groupBy(*key).agg(F.max(order_col).alias(order_col))
-    return df.join(winners.hint("shuffle_hash"), [*key, order_col], "leftsemi")
+    survivors = df.join(winners.hint("shuffle_hash"), [*key, order_col], "leftsemi")
+    payload = [c for c in df.columns if c not in key and c != order_col]
+    if not payload:  # (key, order) ties are full-row duplicates
+        return survivors.distinct()
+    return (
+        survivors.groupBy(*key, order_col)
+        .agg(F.max_by(F.struct(*payload), F.xxhash64(*payload)).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) if c in payload else F.col(c) for c in df.columns])
+    )

@@ -164,7 +164,14 @@ class CdcIngestJob:
             table = LakeTable.load(self.table_root)
         else:
             table = LakeTable.create(self.table_root, fields, key, self.num_buckets)
-        fences = fences or default_fences(self.num_buckets, max_fence)
+        # Fences must cover the TABLE's buckets, not the job's configured
+        # count — pointing a job with a different num_buckets at an existing
+        # table must not leave buckets unfenced (they'd be dropped forever).
+        fences = fences or default_fences(table.num_buckets, max_fence)
+        assert set(fences) == set(range(table.num_buckets)), (
+            f"fence map covers buckets {sorted(fences)} but table has "
+            f"{table.num_buckets} buckets"
+        )
         t0 = time.time()
         stats = run_snapshot_phase(self.spark, table, base, events, fences)
         if not stats.get("skipped"):
@@ -237,8 +244,13 @@ class CdcIngestJob:
         #      by seq-range predicates at DDL offsets (row-group pruning
         #      keeps the total wide bytes ≈ one full pass).
         is_ddl = F.col("op") == OP_DDL
+        # Any bucket missing from the fence map falls back to fence 0 (emit):
+        # `seq >= NULL` would be NULL and silently drop those events forever.
         fence_ok = (
-            F.col("seq") >= fence_map_expr(fences)[table.bucket_expr()]
+            F.col("seq")
+            >= F.coalesce(
+                fence_map_expr(fences)[table.bucket_expr()], F.lit(0).cast("long")
+            )
             if (fences and self.exactly_once)
             else F.lit(True)
         )
@@ -270,6 +282,7 @@ class CdcIngestJob:
         batch_hi = max(seq_maxs) if seq_maxs else None
         bounds = [None] + [s for s, _ in ddls] + [None]
         dml_base = batch.where(~is_ddl).where(fence_ok)
+        any_applied = False  # epoch guard: replayed batches must not re-append
         for i in range(len(ddls) + 1):
             seg = dml_base
             seg_lo, seg_hi = batch_lo, batch_hi
@@ -279,17 +292,25 @@ class CdcIngestJob:
             if bounds[i + 1] is not None:
                 seg = seg.where(F.col("seq") < bounds[i + 1])
                 seg_hi = min(batch_hi, bounds[i + 1] - 1) if batch_hi is not None else None
-            merge_into(
+            res = merge_into(
                 self.spark, table, project_to_table_schema(table, seg),
                 epoch_id=f"b{batch_id}.s{i}",
                 collect_stats=False,
                 extra_summary={"seq_min": seg_lo, "seq_max": seg_hi},
             )
+            any_applied = any_applied or not res.get("skipped")
             if i < len(ddls):
                 s, payload = ddls[i]
-                table.update_schema(
+                applied = table.update_schema(
                     SchemaChange.from_json(payload), epoch_id=f"b{batch_id}.d{s}"
                 )
+                any_applied = any_applied or applied
+
+        # A fully-replayed batch (every sub-epoch already in the ledger) must
+        # not duplicate lineage/metrics rows or double-count events_applied —
+        # the exactly-once contract covers the side tables too.
+        if not any_applied:
+            return
 
         # --- lineage written driver-side from the already-collected rows.
         # Plain pyarrow append (no Spark job): a tiny createDataFrame→write

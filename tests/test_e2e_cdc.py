@@ -112,10 +112,19 @@ def test_restart_from_checkpoint_no_double_apply(spark, tmp_path, fixture_data):
         os.path.join(str(staged), files[0])
     )
     v_before = table.version
+    lineage_before = spark.read.parquet(job.lineage_dir).count()
+    metrics_before = spark.read.parquet(job.metrics_dir).count()
+    applied_before = job._events_applied
     job._apply_batch(first_batch, 0)
     table.refresh()
     assert table.version == v_before  # no new data/schema commits
     _assert_state_equals_oracle(spark, table, fixture_data["expected"])
+
+    # the side tables are epoch-guarded too: a fully-replayed batch appends
+    # no duplicate lineage/metrics rows and doesn't double-count throughput
+    assert spark.read.parquet(job.lineage_dir).count() == lineage_before
+    assert spark.read.parquet(job.metrics_dir).count() == metrics_before
+    assert job._events_applied == applied_before
 
     # lineage covers the whole log exactly (per-partition offset ranges)
     lineage = spark.read.parquet(job.lineage_dir)

@@ -36,12 +36,44 @@ def test_vacuum_removes_unreferenced_files(spark, tmp_path):
     # drop history to current snapshot only, then vacuum
     table._commit(lambda m: m.update(snapshots=[s for s in m["snapshots"]
                                                 if s["snapshot_id"] == m["current_snapshot_id"]]) or True)
-    stats = table.vacuum()
+    # default grace period protects freshly-staged files from the sweep
+    assert table.vacuum()["removed_files"] == 0
+    stats = table.vacuum(older_than_s=0)  # no writer active: sweep all
     n_after = _count_parquet(table.root)
     assert stats["removed_files"] > 0
     assert n_after < n_before
     got = {r["path"]: r for r in table.scan(spark).collect()}
     assert got["a.py"]["content"] == "v5"  # current state intact
+
+
+def test_replace_commit_aborts_on_concurrent_append(spark, tmp_path):
+    """A replace-mode rewrite (compaction/expire) scanned from snapshot S must
+    abort if a delta landed on an affected bucket after S — never silently
+    drop the concurrent writer's data (Iceberg's rewrite validation)."""
+    table = LakeTable.create(str(tmp_path / "t"), REPO_FIELDS, REPO_KEY, num_buckets=1)
+    merge_into(spark, table, _batch(spark, [("o/r", "a.py", "c0", "py", "v0", "I", 1)]), "e0")
+    snap = table.current_snapshot()
+    scanned = {0: list(snap["bucket_files"]["0"])}
+
+    # concurrent writer appends a delta after the scan
+    merge_into(spark, table, _batch(spark, [("o/r", "b.py", "c1", "py", "v1", "I", 2)]), "e1")
+
+    ok = table.commit_snapshot(
+        {0: scanned[0]}, "compact.stale", {"operation": "compact"},
+        mode="replace", expected_bucket_files=scanned,
+    )
+    assert ok is False
+    got = {r["path"] for r in table.scan(spark).collect()}
+    assert got == {"a.py", "b.py"}  # concurrent delta survived
+
+    # with fresh expectations the same rewrite commits
+    table.refresh()
+    fresh = {0: list(table.current_snapshot()["bucket_files"]["0"])}
+    ok = table.commit_snapshot(
+        {0: fresh[0]}, "compact.fresh", {"operation": "compact"},
+        mode="replace", expected_bucket_files=fresh,
+    )
+    assert ok is True
 
 
 def test_expire_tombstones(spark, tmp_path):

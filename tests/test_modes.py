@@ -56,6 +56,29 @@ def test_earliest_mode_no_snapshot(spark, tmp_path):
     )
 
 
+def test_job_bucket_count_mismatch_loses_no_events(spark, tmp_path):
+    """A job configured with a different num_buckets than the existing table
+    must fence by the TABLE's buckets — a fence map missing buckets would
+    evaluate `seq >= NULL` and silently drop those buckets' events forever."""
+    paths = gen.write_fixture(str(tmp_path / "fx"), 100, 400, seed=13, n_event_files=3)
+    base = pd.read_parquet(paths["base"])
+    events = pd.read_parquet(paths["events"])
+    expected, _ = oracle.replay(base, events)
+
+    LakeTable.create(str(tmp_path / "t"), REPO_FIELDS, REPO_KEY, num_buckets=4)
+    job = CdcIngestJob(spark, str(tmp_path / "t"), paths["events"], str(tmp_path / "c"),
+                       num_buckets=2)  # deliberately wrong
+    ev_df = spark.read.schema(event_schema()).parquet(paths["events"])
+    job.ensure_snapshot(spark.read.parquet(paths["base"]), ev_df, REPO_FIELDS, REPO_KEY,
+                        max_fence=120)
+    job.run_incremental(available_now=True, timeout_s=300)
+
+    got = LakeTable.load(str(tmp_path / "t")).scan(spark).toPandas()
+    got = got.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert len(got) == len(expected)
+    assert (got["content"].values == expected["content"].values).all()
+
+
 def test_save_modes(tmp_path):
     root = str(tmp_path / "t")
     t1 = LakeTable.create(root, REPO_FIELDS, REPO_KEY)

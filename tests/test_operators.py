@@ -5,7 +5,7 @@ from pyspark.sql import functions as F
 
 from seatunnel_spark.functions.zeta import rewrite_zeta_sql
 from seatunnel_spark.operators import dedup_docs, similarity, text, transforms
-from seatunnel_spark.operators.dedup import lww_dedup, lww_dedup_agg
+from seatunnel_spark.operators.dedup import lww_dedup, lww_dedup_agg, lww_reduce
 
 
 @pytest.fixture(scope="module")
@@ -28,6 +28,24 @@ def test_lww_forms_agree(spark):
     a = {r["k"]: r["v"] for r in lww_dedup(ev, ["k"]).collect()}
     b = {r["k"]: r["v"] for r in lww_dedup_agg(ev, ["k"]).collect()}
     assert a == b == {1: "b", 2: "d"}
+
+
+def test_lww_reduce_semi_join_breaks_ties(spark):
+    """Non-unique ordering values (e.g. timestamp-ordered sources): exactly
+    one row per key survives, deterministically across runs."""
+    ev = spark.createDataFrame(
+        [(1, 10, "a", "pa"), (1, 10, "b", "pb"), (1, 5, "c", "pc"),
+         (2, 7, "d", "pd"), (2, 7, "d", "pd")],  # full-row duplicate tie
+        "k long, seq long, v string, content string",  # content → semi_join path
+    )
+    out1 = lww_reduce(ev, ["k"], "seq").collect()
+    out2 = lww_reduce(ev, ["k"], "seq").collect()
+    assert sorted(r["k"] for r in out1) == [1, 2]  # one row per key
+    assert {(r["k"], r["seq"], r["v"]) for r in out1} == {
+        (r["k"], r["seq"], r["v"]) for r in out2
+    }  # deterministic winner
+    assert next(r for r in out1 if r["k"] == 2)["v"] == "d"
+    assert ev.columns == lww_reduce(ev, ["k"], "seq").columns
 
 
 def test_transforms(spark):
