@@ -153,21 +153,45 @@ def s2_chunk_split_even(spark, sf_dir):
 @_reg(
     "s4_sample_sharding",
     """
-    SELECT shard, count(*) AS n_rows, min(user_id) AS key_lo, max(user_id) AS key_hi
-    FROM (SELECT user_id, ntile(16) OVER (ORDER BY user_id, event_id) AS shard
-          FROM events) GROUP BY shard
+    WITH hist AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    cum AS (SELECT user_id, c,
+                   sum(c) OVER (ORDER BY user_id ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER () AS n
+            FROM hist)
+    SELECT CAST(1 + ((cum - 1) * 16) // n AS BIGINT) AS shard,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           min(user_id) AS key_lo, max(user_id) AS key_hi
+    FROM cum GROUP BY 1
     """,
 )
 def s4_sample_sharding(spark, sf_dir):
-    """Equi-depth shard boundaries (efficientShardingThroughSampling:233-269) —
-    ntile = the exact form; production uses repartitionByRange/approxQuantile."""
+    """Equi-depth shard boundaries from the KEY HISTOGRAM
+    (efficientShardingThroughSampling, AbstractJdbcSourceChunkSplitter.java:233-269).
+
+    Scale design: the raw table is never globally sorted. A keyed aggregate
+    (parallel, map-side combinable) reduces the table to one row per distinct
+    key; only that histogram passes through the single-partition cumulative
+    window — the same shape as the reference, whose sampling-based splitter
+    likewise collects sampled keys into one enumerator to derive boundaries.
+    At 10^10 events with ~10^7 keys the window input is ~0.1% of the table;
+    at extreme key cardinality you'd sample the histogram first. shard(u) =
+    1 + floor((cum(u)-1) * S / N): every event of a key lands in one shard,
+    shards are depth-balanced up to the heaviest key."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("user_id", "event_id")
+    hist = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy("user_id").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "user_id",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    shard = (F.lit(1) + _idiv((F.col("cum") - 1) * 16, F.col("n"))).cast("bigint")
     return (
-        ev.select("user_id", F.ntile(16).over(w).alias("shard"))
-        .groupBy("shard")
+        cum.groupBy(shard.alias("shard"))
         .agg(
-            F.count("*").alias("n_rows"),
+            F.sum("c").cast("bigint").alias("n_rows"),
             F.min("user_id").alias("key_lo"),
             F.max("user_id").alias("key_hi"),
         )
@@ -1020,12 +1044,40 @@ def media_feature_extract(spark, sf_dir):
     )
 
 
-@_reg("dedup_minhash_lsh_pairs")  # no oracle: pair set checked in pytest
+@_reg(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             [list_min([('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 12))::BIGINT
+                        FOR s IN {_DSH}])
+              FOR i IN range(0, 16)] AS mh
+      FROM documents),
+    bands AS (
+      SELECT doc_id, b AS band,
+             md5(array_to_string([mh[b * 4 + j + 1]::VARCHAR FOR j IN range(0, 4)], ',')) AS bh
+      FROM sig, range(0, 4) t(b)),
+    ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 10),
+    capped AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM capped l JOIN capped r ON l.band = r.band AND l.bh = r.bh
+                                 AND l.doc_id < r.doc_id),
+    sh AS (SELECT doc_id, list_distinct({_DSH}) AS s FROM documents)
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+              JOIN sh b ON b.doc_id = cand.doc_b
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+    """,
+)
 def dedup_minhash_lsh_pairs_q(spark, sf_dir):
-    """Banded-LSH candidate pairs (k=16, b=4) + exact Jaccard verify —
-    the full near-dedup pipeline; the count is the driver's rows-only check."""
+    """Banded-LSH candidate pairs (k=16, b=4, bucket cap 10) + exact Jaccard
+    verify — the full near-dedup pipeline, bit-exact against DuckDB."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup_docs.minhash_lsh_pairs(docs, k=16, bands=4)
+    pairs = dedup_docs.minhash_lsh_pairs(docs, k=16, bands=4, max_bucket=10)
     verified = dedup_docs.ngram_jaccard(docs, pairs)
     return verified.where(F.col("jaccard") >= 0.2).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")

@@ -6,9 +6,10 @@ DuckDB oracle reproduces them exactly), all shuffle-conscious:
 - exact: hash-groupBy on a content fingerprint. One shuffle on a 32-char
   key; at 100 TB do it on the md5, never on the raw text (tiny shuffle rows).
 - minhash + LSH: word-shingles → k minhashes → b bands → candidate pairs by
-  band-bucket join. The join is on (band_idx, band_hash) — uniformly
-  distributed keys, so the shuffle is balanced by construction; no giant
-  cross-join ever materializes.
+  band-bucket join. The join is on (band_idx, band_hash); bucket sizes are
+  capped (``max_bucket``) so a duplicate-heavy cluster can never emit N²
+  pairs — oversized buckets are exact-dup clusters routed through
+  ``exact_dedup`` instead.
 - simhash: 64-bit sign-aggregated token hashes; near-dups share the value or
   differ in few bits (banded by 16-bit quarters for candidate generation).
 - n-gram Jaccard: exact verify step for LSH candidates (intersection over
@@ -81,9 +82,20 @@ def minhash_lsh_pairs(
     col: str = "text",
     k: int = 16,
     bands: int = 4,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    ``max_bucket`` caps band-bucket size before the self-join: a bucket of N
+    docs emits N² pairs, and on a duplicate-heavy corpus (the exact case
+    dedup exists for) one cluster of 10^6 identical docs would emit 10^12
+    rows. Buckets above the cap are skipped — identical docs all share ALL
+    band buckets, so oversized buckets are exact-dup clusters that
+    ``exact_dedup`` collapses in O(N) instead; run it first and feed only
+    canonical representatives here (the reference guards its chunk splitter
+    against the same skew, JdbcSourceOptions.java:102-138). The cap makes
+    the pair count O(buckets × cap²) by construction."""
     r = k // bands
     sigs = minhash_signatures(df, id_col, col, k)
     band_rows = sigs.select(
@@ -102,6 +114,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh")
+    if max_bucket is not None:
+        small = (
+            band_rows.groupBy("band", "bh")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+        )
+        band_rows = band_rows.join(small, ["band", "bh"], "leftsemi")
     left = band_rows.alias("l")
     right = band_rows.alias("r")
     return (

@@ -82,6 +82,29 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert j[(0, 4)] < 0.1
 
 
+def test_lsh_bucket_cap_bounds_duplicate_clusters(spark):
+    """A cluster of N identical docs must NOT emit N² candidate pairs: its
+    band buckets exceed the cap and are skipped (exact_dedup handles them in
+    O(N)); genuinely-near pairs outside the cluster still surface."""
+    dup_text = "copy pasted boilerplate license header repeated in every file verbatim"
+    near_a = "the quick brown fox jumps over the lazy dog and runs away fast"
+    near_b = "the quick brown fox jumps over the lazy dog and runs away slow"
+    rows = [(i, dup_text) for i in range(200)] + [(1000, near_a), (1001, near_b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = dedup_docs.minhash_lsh_pairs(df, k=16, bands=4, max_bucket=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert all(a >= 1000 for a, _ in got), "capped cluster leaked pairs"
+    assert (1000, 1001) in got
+    # the oversized cluster is exact-dup territory: collapsed in O(N)
+    collapsed = dedup_docs.exact_dedup(df).where(F.col("group_size") == 200)
+    assert collapsed.count() == 200
+    # uncapped (max_bucket=None) would emit the full N² blowup: prove the
+    # cap is what bounds it
+    uncapped = dedup_docs.minhash_lsh_pairs(df, k=16, bands=4, max_bucket=None)
+    assert uncapped.count() == 200 * 199 // 2 + 1
+
+
 def test_simhash_near_dup_close(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup_docs.simhash(docs, bits=32).collect()}
     assert sh[0] == sh[1]
@@ -136,6 +159,23 @@ def test_multimodal_plumbing(spark):
     assert again[0] == rows[0]["features"] or again[rows[0]["media_id"]] == rows[0]["features"]
     plan = multimodal.frame_sample_plan(media, every_ms=10000)
     assert plan.where(F.col("frame_ms") % 10000 != 0).count() == 0
+
+
+def test_sample_sharding_plan_never_sorts_raw_table(spark):
+    """The s4 sharding plan's single-partition window must run over the KEY
+    HISTOGRAM (post-aggregate), never a global sort of the raw event table —
+    the 100× scale guarantee. Asserts the physical plan shape."""
+    from seatunnel_spark.entry_queries import QUERIES
+
+    df = QUERIES["s4_sample_sharding"](spark, "/root/testdata/sf0.001")
+    df.collect()  # finalize AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    # everything below the single-partition exchange is already aggregated
+    below = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate(keys=[user_id" in below
+    # the raw scan is pruned to the key column only
+    assert "ReadSchema: struct<user_id:bigint>" in below
 
 
 def test_zeta_sql_rewrite():
