@@ -356,6 +356,32 @@ def t_sql_transform(spark, sf_dir):
 
 
 @_reg(
+    "t_zeta_sql_string",
+    """
+    SELECT doc_id, upper(lang) AS lang_uc, source || ':' || lang AS tag,
+           substring(text, 1, 8) AS head, CAST(length(text) AS BIGINT) AS len
+    FROM documents WHERE length(text) > 50 AND lang <> 'zh'
+    """,
+)
+def t_zeta_sql_string(spark, sf_dir):
+    """The full Zeta SQL STRING engine: a SeaTunnel `sql` transform config
+    string is parsed, validated (single-table SELECT/WHERE only,
+    ZetaSQLEngine.java:99-157) and rewritten into one Catalyst projection."""
+    from seatunnel_spark.functions.sql_engine import zeta_sql_transform
+
+    docs = _t(spark, sf_dir, "documents")
+    return zeta_sql_transform(
+        docs,
+        """
+        SELECT doc_id, UCASE(lang) AS lang_uc, CONCAT(source, ':', lang) AS tag,
+               LEFT(text, 8) AS head, CAST(LENGTH(text) AS BIGINT) AS len
+        FROM documents WHERE LENGTH(text) > 50 AND lang <> 'zh'
+        """,
+        table_name="documents",
+    )
+
+
+@_reg(
     "t_split",
     """
     SELECT doc_id, string_split(text, ' ')[1] AS w0, string_split(text, ' ')[2] AS w1,
@@ -560,6 +586,156 @@ def f_system_funcs(spark, sf_dir):
         .alias("bucket3"),
         F.round(F.col("value"), 0).cast("bigint").alias("value_int"),
         F.col("user_id").cast("string").alias("uid_str"),
+    )
+
+
+def _zeta(spark, sf_dir, table, sql):
+    """Run a Zeta SQL config string through the real string engine."""
+    from seatunnel_spark.functions.sql_engine import zeta_sql_transform
+
+    return zeta_sql_transform(_t(spark, sf_dir, table), sql, table_name=table)
+
+
+# DuckDB soundex (missing builtin): generic for the 2-letter lang codes —
+# first letter + consonant digit of the 2nd letter unless vowel/H/W or same
+# code as the 1st, padded to 4 (the classic rules reduce to this at len 2)
+_DSDX = (
+    "upper(substr(lang, 1, 1)) || rpad(CASE WHEN "
+    "replace(translate(upper(substr(lang, 2, 1)), 'BFPVCGJKQSXZDTLMNRAEIOUYHW',"
+    " '11112222222233455600000000'), '0', '') <> '' AND "
+    "replace(translate(upper(substr(lang, 2, 1)), 'BFPVCGJKQSXZDTLMNRAEIOUYHW',"
+    " '11112222222233455600000000'), '0', '') <> "
+    "replace(translate(upper(substr(lang, 1, 1)), 'BFPVCGJKQSXZDTLMNRAEIOUYHW',"
+    " '11112222222233455600000000'), '0', '') THEN "
+    "replace(translate(upper(substr(lang, 2, 1)), 'BFPVCGJKQSXZDTLMNRAEIOUYHW',"
+    " '11112222222233455600000000'), '0', '') ELSE '' END, 3, '0')"
+)
+
+
+@_reg(
+    "f_string_funcs3",
+    f"""
+    SELECT doc_id,
+           {_DSDX} AS sdx,
+           regexp_extract(text, '[a-z]+', 0) AS w0,
+           lower(array_to_string(
+               ['00' || lpad(lower(hex(ascii(x))), 2, '0') FOR x IN string_split(lang, '')],
+               '')) AS lang_hex,
+           source AS src_rt,
+           substr(source, 1, 1) || 'XX' || substr(source, 3) AS ins,
+           CAST(CASE WHEN strpos(substr(text, 3), 'e') = 0 THEN 0
+                     ELSE strpos(substr(text, 3), 'e') + 2 END AS BIGINT) AS loc_e,
+           lang || '  ' || chr(35) AS spaced,
+           translate(source, 'src', 'SRC') AS tr
+    FROM documents
+    """,
+)
+def f_string_funcs3(spark, sf_dir):
+    """Third string batch — the previously-untested tail, executed through
+    the Zeta string engine: SOUNDEX, REGEXP_SUBSTR, RAWTOHEX/HEXTORAW
+    (UTF-16 round trip), INSERT splice, 3-arg LOCATE, SPACE, CHR, TRANSLATE
+    (reference StringFunction.java)."""
+    return _zeta(
+        spark, sf_dir, "documents",
+        """
+        SELECT doc_id,
+               SOUNDEX(lang) AS sdx,
+               REGEXP_SUBSTR(text, '[a-z]+') AS w0,
+               RAWTOHEX(lang) AS lang_hex,
+               HEXTORAW(RAWTOHEX(source)) AS src_rt,
+               INSERT(source, 2, 1, 'XX') AS ins,
+               CAST(LOCATE('e', text, 3) AS BIGINT) AS loc_e,
+               CONCAT(lang, SPACE(2), CHR(35)) AS spaced,
+               TRANSLATE(source, 'src', 'SRC') AS tr
+        FROM documents
+        """,
+    )
+
+
+@_reg(
+    "f_datetime_funcs2",
+    """
+    SELECT event_id,
+           ts + INTERVAL 7 DAY AS d7,
+           ts + INTERVAL 90 MINUTE AS m90,
+           CAST(floor(epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT)
+               // 3600 AS h_since,
+           CAST(floor(epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT)
+               AS s_since,
+           strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+           date_trunc('second', ts) AS ts_sec,
+           dayname(ts) AS dname,
+           monthname(ts) AS mname,
+           CAST(quarter(ts) AS BIGINT) AS q,
+           CAST(weekofyear(ts) AS BIGINT) AS wk,
+           CAST(dayofyear(ts) AS BIGINT) AS doy
+    FROM events
+    """,
+)
+def f_datetime_funcs2(spark, sf_dir):
+    """Second datetime batch through the Zeta engine: DATEADD/TIMESTAMPADD
+    (arg reorder), DATEDIFF in two units, FORMATDATETIME/PARSEDATETIME
+    round trip, DAYNAME/MONTHNAME, QUARTER/WEEK/DAY_OF_YEAR
+    (reference DateTimeFunction.java; WEEK maps to ISO weekofyear — the
+    reference's +1 (DateTimeFunction.java:526-534) is a documented deviation)."""
+    return _zeta(
+        spark, sf_dir, "events",
+        """
+        SELECT event_id,
+               DATEADD(ts, 7) AS d7,
+               TIMESTAMPADD(ts, 90, 'MINUTE') AS m90,
+               CAST(DATEDIFF(TIMESTAMP '2024-01-01 00:00:00', ts, 'HOUR') AS BIGINT) AS h_since,
+               CAST(DATEDIFF(TIMESTAMP '2024-01-01 00:00:00', ts, 'SECOND') AS BIGINT) AS s_since,
+               FORMATDATETIME(ts, 'yyyy-MM-dd HH:mm') AS fmt,
+               PARSEDATETIME(FORMATDATETIME(ts, 'yyyy-MM-dd HH:mm:ss'), 'yyyy-MM-dd HH:mm:ss') AS ts_sec,
+               DAYNAME(ts) AS dname,
+               MONTHNAME(ts) AS mname,
+               CAST(QUARTER(ts) AS BIGINT) AS q,
+               CAST(WEEK(ts) AS BIGINT) AS wk,
+               CAST(DAY_OF_YEAR(ts) AS BIGINT) AS doy
+        FROM events
+        """,
+    )
+
+
+@_reg(
+    "f_math_funcs2",
+    """
+    SELECT event_id,
+           (CASE WHEN value >= 0 THEN floor(value * pow(10, 1))
+                 ELSE ceil(value * pow(10, 1)) END / pow(10, 1)) AS t1,
+           (CASE WHEN (value * -1) >= 0 THEN floor((value * -1) * pow(10, 2))
+                 ELSE ceil((value * -1) * pow(10, 2)) END / pow(10, 2)) AS t2,
+           round(1 / tan(1 + value / 1000), 6) AS cot6,
+           round((exp(value / 1000) - exp(-(value / 1000)))
+                 / (exp(value / 1000) + exp(-(value / 1000))), 6) AS th,
+           round(radians(value), 6) AS rad,
+           round(atan2(value, 10), 6) AS at2,
+           round(power(value + 1, 0.5), 6) AS pw,
+           round(log(2, value + 1), 6) AS lg2,
+           CAST(sign(value - 50) AS DOUBLE) AS sg
+    FROM events
+    """,
+)
+def f_math_funcs2(spark, sf_dir):
+    """Second math batch through the Zeta engine: TRUNC/TRUNCATE (numeric,
+    RoundingMode.DOWN — NumericFunction.java:433-443), COT/TANH on
+    well-conditioned arguments, RADIANS, ATAN2, POWER, 2-arg LOG, SIGN."""
+    return _zeta(
+        spark, sf_dir, "events",
+        """
+        SELECT event_id,
+               TRUNC(value, 1) AS t1,
+               TRUNCATE(value * -1, 2) AS t2,
+               ROUND(COT(1 + value / 1000), 6) AS cot6,
+               ROUND(TANH(value / 1000), 6) AS th,
+               ROUND(RADIANS(value), 6) AS rad,
+               ROUND(ATAN2(value, 10), 6) AS at2,
+               ROUND(POWER(value + 1, 0.5), 6) AS pw,
+               ROUND(LOG(2, value + 1), 6) AS lg2,
+               CAST(SIGN(value - 50) AS DOUBLE) AS sg
+        FROM events
+        """,
     )
 
 

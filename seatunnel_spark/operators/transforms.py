@@ -23,9 +23,10 @@ from pyspark.sql import functions as F
 
 
 def sql_transform(df: DataFrame, select_exprs: list[str], where: str | None = None) -> DataFrame:
-    """Zeta SQL subset: projection + predicate over one table. The reference
-    explicitly rejects joins/GROUP BY/ORDER BY/LIMIT (ZetaSQLEngine.java:99-157);
-    Catalyst subsumes the whole engine with selectExpr/where."""
+    """Zeta SQL subset with pre-split expressions. For the real SeaTunnel
+    config surface — an actual SQL string, parsed and validated with the
+    reference's rejections (ZetaSQLEngine.java:99-157) and the full scalar
+    function mapping — use functions.sql_engine.zeta_sql_transform."""
     out = df.selectExpr(*select_exprs)
     return out.where(where) if where else out
 

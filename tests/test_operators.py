@@ -180,8 +180,22 @@ def test_sample_sharding_plan_never_sorts_raw_table(spark):
 
 def test_zeta_sql_rewrite():
     assert rewrite_zeta_sql("FORMATDATETIME(ts, 'yyyy')") == "DATE_FORMAT(ts, 'yyyy')"
-    assert rewrite_zeta_sql("IFNULL(a, b)") == "COALESCE(a, b)"
     assert rewrite_zeta_sql("CONCAT(UPPER(x), LOWER(y))") == "CONCAT(UPPER(x), LOWER(y))"
+    # argument-aware transforms
+    assert rewrite_zeta_sql("DATEADD(ts, 3)") == "TIMESTAMPADD(DAY, 3, ts)"
+    assert rewrite_zeta_sql("DATEADD(ts, 3, 'HOUR')") == "TIMESTAMPADD(HOUR, 3, ts)"
+    assert rewrite_zeta_sql("DATEDIFF(a, b, 'MINUTE')") == "TIMESTAMPDIFF(MINUTE, a, b)"
+    assert rewrite_zeta_sql("DATE_TRUNC(ts, 'MONTH')") == "DATE_TRUNC('MONTH', ts)"
+    assert (
+        rewrite_zeta_sql("INSERT(s, 2, 3, 'xy')")
+        == "CONCAT(SUBSTRING(s, 1, (2) - 1), 'xy', SUBSTRING(s, (2) + (3)))"
+    )
+    # nesting + strings containing commas/parens stay intact
+    assert (
+        rewrite_zeta_sql("CONCAT(FORMATDATETIME(ts, 'a,(b'), TRUNCATE(x, 2))")
+        == "CONCAT(DATE_FORMAT(ts, 'a,(b'), (CASE WHEN (x) >= 0 THEN "
+        "FLOOR((x) * POW(10, 2)) ELSE CEILING((x) * POW(10, 2)) END / POW(10, 2)))"
+    )
 
 
 def test_entry_contract():
