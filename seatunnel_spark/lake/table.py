@@ -400,32 +400,58 @@ class LakeTable:
         """Apply a DDL event as a metadata-only commit (no data rewrite).
         Reference semantics: AlterTableEventHandler.java:53-163; alignment
         with data commits is the caller's job (DDL-offset sub-transactions).
+
+        ``batch`` (reference AlterTableColumnsEvent.java) applies its column
+        sub-changes in order under ONE epoch/schema version — all-or-nothing,
+        exactly one new schema id, matching the reference's single event at a
+        single stream offset. ``rename_table`` (AlterTableNameEvent.java) is
+        a pure metadata property change: data paths and column ids are keyed
+        by table_uuid/ids, never by name, so nothing else moves.
         """
+
+        def apply_one(meta: dict, fields: list[dict], ch: SchemaChange) -> list[dict]:
+            if ch.kind == "add_column":
+                if any(f["name"] == ch.name for f in fields):
+                    raise _NoopDDL()
+                cid = meta["next_column_id"]
+                meta["next_column_id"] += 1
+                fields.append({"id": cid, "name": ch.name, "type": ch.type})
+                meta["wire_bindings"][ch.name] = cid
+            elif ch.kind == "rename_column":
+                f = next(f for f in fields if f["name"] == ch.old_name)
+                f["name"] = ch.name
+            elif ch.kind == "widen_type":
+                f = next(f for f in fields if f["name"] == ch.name)
+                if (f["type"], ch.type) not in LEGAL_WIDENINGS:
+                    raise ValueError(f"illegal widening {f['type']} -> {ch.type}")
+                f["type"] = ch.type
+            elif ch.kind == "drop_column":
+                fields = [f for f in fields if f["name"] != ch.name]
+            else:
+                raise ValueError(f"unknown schema change kind: {ch.kind}")
+            return fields
 
         def mutate(meta: dict):
             if epoch_id in meta["epochs"]:
                 return False
+            if change.kind == "rename_table":
+                meta["properties"]["table_name"] = change.name
+                meta["epochs"][epoch_id] = meta["current_snapshot_id"] or 0
+                return True
             cur_id = meta["current_schema_id"]
             fields = copy.deepcopy(meta["schemas"][str(cur_id)])
-            if change.kind == "add_column":
-                if any(f["name"] == change.name for f in fields):
-                    return False
-                cid = meta["next_column_id"]
-                meta["next_column_id"] += 1
-                fields.append({"id": cid, "name": change.name, "type": change.type})
-                meta["wire_bindings"][change.name] = cid
-            elif change.kind == "rename_column":
-                f = next(f for f in fields if f["name"] == change.old_name)
-                f["name"] = change.name
-            elif change.kind == "widen_type":
-                f = next(f for f in fields if f["name"] == change.name)
-                if (f["type"], change.type) not in LEGAL_WIDENINGS:
-                    raise ValueError(f"illegal widening {f['type']} -> {change.type}")
-                f["type"] = change.type
-            elif change.kind == "drop_column":
-                fields = [f for f in fields if f["name"] != change.name]
-            else:
-                raise ValueError(f"unknown schema change kind: {change.kind}")
+            subs = change.changes if change.kind == "batch" else (change,)
+            applied_any = False
+            for ch in subs:
+                if ch.kind in ("batch", "rename_table"):
+                    raise ValueError(f"{ch.kind} is not a column event")
+                try:
+                    fields = apply_one(meta, fields, ch)
+                    applied_any = True
+                except _NoopDDL:
+                    continue  # e.g. add of an existing column: skip this sub
+            if not applied_any:
+                return False
             new_id = max(int(k) for k in meta["schemas"]) + 1
             meta["schemas"][str(new_id)] = fields
             meta["current_schema_id"] = new_id
@@ -433,3 +459,7 @@ class LakeTable:
             return True
 
         return self._commit(mutate)
+
+
+class _NoopDDL(Exception):
+    """Raised when a DDL is a no-op (e.g. add of an existing column)."""

@@ -30,20 +30,25 @@ def replay(base: pd.DataFrame, events: pd.DataFrame) -> tuple[pd.DataFrame, list
     for e in events.itertuples(index=False):
         if e.op == OP_DDL:
             ch = SchemaChange.from_json(e.ddl)
-            if ch.kind == "add_column":
-                cols.append(ch.name)
-                for row in state.values():
-                    row[ch.name] = None
-            elif ch.kind == "rename_column":
-                cols[cols.index(ch.old_name)] = ch.name
-                for row in state.values():
-                    row[ch.name] = row.pop(ch.old_name)
-            elif ch.kind == "widen_type":
-                pass  # python ints are already wide; schema-level only
-            elif ch.kind == "drop_column":
-                cols.remove(ch.name)
-                for row in state.values():
-                    row.pop(ch.name, None)
+            for sub in ch.changes if ch.kind == "batch" else (ch,):
+                if sub.kind == "add_column":
+                    if sub.name in cols:
+                        continue
+                    cols.append(sub.name)
+                    for row in state.values():
+                        row[sub.name] = None
+                elif sub.kind == "rename_column":
+                    cols[cols.index(sub.old_name)] = sub.name
+                    for row in state.values():
+                        row[sub.name] = row.pop(sub.old_name)
+                elif sub.kind == "widen_type":
+                    pass  # python ints are already wide; schema-level only
+                elif sub.kind == "drop_column":
+                    cols.remove(sub.name)
+                    for row in state.values():
+                        row.pop(sub.name, None)
+                elif sub.kind == "rename_table":
+                    pass  # metadata-only: row data is unaffected
             continue
         key = (e.repo, e.path)
         if e.op == OP_DELETE:

@@ -107,30 +107,48 @@ def event_schema() -> T.StructType:
 class SchemaChange:
     """Parsed DDL event.
 
-    kind ∈ {add_column, rename_column, widen_type, drop_column}.
+    kind ∈ {add_column, rename_column, widen_type, drop_column,
+    rename_table, batch}.
     Reference: seatunnel-api table/event/AlterTable{Add,Change,Modify,Drop}
-    ColumnEvent.java, applied by AlterTableEventHandler.java:53-163.
+    ColumnEvent.java, applied by AlterTableEventHandler.java:53-163;
+    rename_table = AlterTableNameEvent.java; batch = AlterTableColumnsEvent
+    .java (a list of column events applied atomically at one log offset).
+    ``changes`` is the batch payload — a tuple of sub-SchemaChanges, none of
+    which may itself be a batch or rename_table (same constraint as the
+    reference, whose AlterTableColumnsEvent holds only column events).
     """
 
     kind: str
     name: str | None = None
     type: str | None = None
     old_name: str | None = None
+    changes: tuple["SchemaChange", ...] | None = None
 
     @staticmethod
     def from_json(payload: str) -> "SchemaChange":
-        d = json.loads(payload)
+        return SchemaChange._from_dict(json.loads(payload))
+
+    @staticmethod
+    def _from_dict(d: dict) -> "SchemaChange":
         return SchemaChange(
             kind=d["kind"],
             name=d.get("name"),
             type=d.get("type"),
             old_name=d.get("old_name"),
+            changes=tuple(SchemaChange._from_dict(c) for c in d["changes"])
+            if d.get("changes") is not None
+            else None,
         )
 
-    def to_json(self) -> str:
+    def _to_dict(self) -> dict:
         d = {"kind": self.kind}
         for k in ("name", "type", "old_name"):
             v = getattr(self, k)
             if v is not None:
                 d[k] = v
-        return json.dumps(d, sort_keys=True)
+        if self.changes is not None:
+            d["changes"] = [c._to_dict() for c in self.changes]
+        return d
+
+    def to_json(self) -> str:
+        return json.dumps(self._to_dict(), sort_keys=True)

@@ -76,6 +76,11 @@ def _arrow_schemas():
                 ("lag_events", pa.int64()),
                 ("wall_ms", pa.int64()),
                 ("phase", pa.string()),
+                # reference metric parity: CDCRecordFetchDelay/EmitDelay
+                # (IncrementalSourceRecordEmitter.java:59-60) — age of the
+                # batch's freshest event at fetch time / at commit time
+                ("fetch_delay_ms", pa.int64()),
+                ("emit_delay_ms", pa.int64()),
             ]
         )
     return _LINEAGE_ARROW_SCHEMA, _METRICS_ARROW_SCHEMA
@@ -185,25 +190,53 @@ class CdcIngestJob:
         return table
 
     # ------------------------------------------------------------ phase B
+    def resolve_timestamp(self, start_ts) -> int | None:
+        """StartupMode TIMESTAMP → log offset: the smallest seq whose event
+        time is >= start_ts, with ONE bounded batch query over the log
+        (reference: StartupMode.java TIMESTAMP; the MySQL source resolves a
+        timestamp to a binlog offset by scanning binlog file metadata —
+        BinlogOffset.ofTimestampSec). The log is seq-ordered and ts is
+        monotone with seq, so min(seq | ts >= t) is the exact resume point;
+        the `ts >= t` predicate pushes down to parquet row-group stats, so
+        the scan touches only the log tail. Returns None when no event is at
+        or after the timestamp (nothing to replay)."""
+        row = (
+            self.spark.read.schema(event_schema())
+            .parquet(self.events_dir)
+            .where(F.col("ts") >= F.lit(start_ts))
+            .agg(F.min("seq").alias("s"))
+            .collect()[0]
+        )
+        return int(row["s"]) if row["s"] is not None else None
+
     def run_incremental(
         self,
         available_now: bool = True,
         timeout_s: float | None = None,
         start_seq: int | None = None,
         stop_seq: int | None = None,
+        start_ts=None,
     ):
         """Tail the event log from the snapshot fences (min-high start, per
         reference IncrementalSplitAssigner.createIncrementalSplit:198-257).
 
         Startup/stop modes (reference option/StartupMode.java, StopMode.java):
         INITIAL = ensure_snapshot() then this; EARLIEST = skip the snapshot
-        (empty fences) and stream from seq 0; SPECIFIC_OFFSET/TIMESTAMP =
-        ``start_seq`` (resolve a timestamp to a seq with one query on the
-        log); StopMode SPECIFIC = ``stop_seq`` (bounded replay — the
-        reference's binlog task self-terminates at the stop offset,
+        (empty fences) and stream from seq 0; SPECIFIC_OFFSET = ``start_seq``;
+        TIMESTAMP = ``start_ts`` (datetime or ISO string), resolved to a seq
+        by resolve_timestamp() with one log query; StopMode SPECIFIC =
+        ``stop_seq`` (bounded replay — the reference's binlog task
+        self-terminates at the stop offset,
         MySqlBinlogFetchTask.handleEvent:138-163); availableNow = StopMode
         LATEST. Filters compose with the per-chunk fences.
         """
+        if start_ts is not None:
+            if start_seq is not None:
+                raise ValueError("pass start_seq or start_ts, not both")
+            start_seq = self.resolve_timestamp(start_ts)
+            if start_seq is None:
+                # nothing at/after the timestamp: empty bounded replay
+                start_seq = (1 << 62)
         self._start_seq = start_seq
         self._stop_seq = stop_seq
         stream = (
@@ -263,6 +296,7 @@ class CdcIngestJob:
                 F.max(F.when(~is_ddl, F.col("seq"))).alias("seq_max"),
                 F.collect_set(F.when(~is_ddl, F.col("txn_id"))).alias("txn_ids"),
                 F.count(F.when(~is_ddl, F.lit(1))).alias("n_events"),
+                F.max(F.when(~is_ddl, F.col("ts"))).alias("ts_max"),
                 F.collect_list(
                     F.when(is_ddl, F.struct(F.col("seq"), F.col("ddl")))
                 ).alias("ddls"),
@@ -334,11 +368,26 @@ class CdcIngestJob:
 
         applied = int(sum(r["n_events"] for r in meta_rows)) + len(ddls)
         self._events_applied += applied
+        # CDCRecordFetchDelay / CDCRecordEmitDelay parity: delay of the
+        # batch's freshest event at fetch start (t0) and at commit (now).
+        # Event ts is wall-like in a real binlog; the synthetic fixture's ts
+        # is far in the past/future, so delays are informational, not asserted
+        # against wall time — the invariant tested is emit >= fetch.
+        ts_maxes = [r["ts_max"] for r in meta_rows if r["ts_max"] is not None]
+        fetch_delay_ms = emit_delay_ms = None
+        if ts_maxes:
+            # collect() yields naive datetimes in driver-local time;
+            # .timestamp() interprets naive as local, so this is exact either way
+            newest = max(ts_maxes).timestamp()
+            fetch_delay_ms = int((t0 - newest) * 1000)
+            emit_delay_ms = int((time.time() - newest) * 1000)
         self._write_metrics(
             batch_id=batch_id,
             phase="incremental",
             events_applied=applied,
             wall_ms=int((time.time() - t0) * 1000),
+            fetch_delay_ms=fetch_delay_ms,
+            emit_delay_ms=emit_delay_ms,
         )
 
     # ------------------------------------------------------------ side tables
@@ -358,7 +407,15 @@ class CdcIngestJob:
             "lineage",
         )
 
-    def _write_metrics(self, batch_id: int, phase: str, events_applied: int, wall_ms: int) -> None:
+    def _write_metrics(
+        self,
+        batch_id: int,
+        phase: str,
+        events_applied: int,
+        wall_ms: int,
+        fetch_delay_ms: int | None = None,
+        emit_delay_ms: int | None = None,
+    ) -> None:
         lag = (
             self.total_events - self._events_applied
             if (self.total_events is not None and phase == "incremental")
@@ -374,6 +431,8 @@ class CdcIngestJob:
                 "lag_events": [lag],
                 "wall_ms": [wall_ms],
                 "phase": [phase],
+                "fetch_delay_ms": [fetch_delay_ms],
+                "emit_delay_ms": [emit_delay_ms],
             },
             "metrics",
         )

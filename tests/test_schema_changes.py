@@ -1,0 +1,198 @@
+"""Schema-change parity: table rename (AlterTableNameEvent.java), batched
+column events (AlterTableColumnsEvent.java — a list of column changes at ONE
+log offset, applied atomically under one schema version), and StartupMode
+TIMESTAMP (StartupMode.java — resolve an event time to a log offset)."""
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from seatunnel_spark import oracle
+from seatunnel_spark.lake import LakeTable, merge_into
+from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, SchemaChange, event_schema
+from seatunnel_spark.sources import generator as gen
+from seatunnel_spark.streaming.job import CdcIngestJob
+
+ROWS1 = [
+    ("o/r1", "a.py", "c1", "py", "print(1)", "I", 0),
+    ("o/r1", "b.py", "c2", "py", "print(2)", "I", 1),
+]
+
+
+def _batch_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string, op string, seq long",
+    )
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return LakeTable.create(str(tmp_path / "t"), REPO_FIELDS, REPO_KEY, num_buckets=4)
+
+
+def test_rename_table_metadata_only(spark, table):
+    merge_into(spark, table, _batch_df(spark, ROWS1), "e1")
+    v = table.version
+    assert table.update_schema(SchemaChange(kind="rename_table", name="repos_v2"), "d1")
+    assert table.meta["properties"]["table_name"] == "repos_v2"
+    # metadata-only: same schema id, data still readable
+    assert table.meta["current_schema_id"] == 0
+    assert table.scan(spark).count() == 2
+    # idempotent under the same epoch
+    assert table.update_schema(SchemaChange(kind="rename_table", name="x"), "d1") is False
+    assert table.meta["properties"]["table_name"] == "repos_v2"
+    assert table.version == v + 1
+
+
+def test_batched_column_events_one_schema_version(spark, table):
+    merge_into(spark, table, _batch_df(spark, ROWS1), "e1")
+    batch = SchemaChange(
+        kind="batch",
+        changes=(
+            SchemaChange(kind="add_column", name="stars", type="int"),
+            SchemaChange(kind="add_column", name="forks", type="int"),
+            SchemaChange(kind="rename_column", old_name="commit", name="commit_sha"),
+        ),
+    )
+    # JSON round-trip (the wire form a DDL event carries)
+    assert SchemaChange.from_json(batch.to_json()) == batch
+
+    sid_before = table.meta["current_schema_id"]
+    assert table.update_schema(batch, "d1")
+    # exactly ONE new schema version for the whole batch
+    assert table.meta["current_schema_id"] == sid_before + 1
+    names = [f["name"] for f in table.schema_fields()]
+    assert "stars" in names and "forks" in names and "commit_sha" in names
+    assert "commit" not in names
+    # old data files align by column id: renamed column keeps its values
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert got["a.py"]["commit_sha"] == "c1" and got["a.py"]["stars"] is None
+    # replay of the same epoch is a no-op
+    assert table.update_schema(batch, "d1") is False
+
+    # a no-op sub-change (re-add existing column) skips that sub only
+    batch2 = SchemaChange(
+        kind="batch",
+        changes=(
+            SchemaChange(kind="add_column", name="stars", type="int"),
+            SchemaChange(kind="widen_type", name="forks", type="bigint"),
+        ),
+    )
+    assert table.update_schema(batch2, "d2")
+    assert dict(table.scan(spark).dtypes)["forks"] == "bigint"
+
+    # nested batches / rename_table inside a batch are rejected
+    with pytest.raises(ValueError):
+        table.update_schema(
+            SchemaChange(kind="batch", changes=(batch,)), "d3"
+        )
+
+
+def test_batch_ddl_through_the_stream(spark, tmp_path):
+    """A batched column event at one log offset, delivered through the
+    incremental stream: later events' new-column values ride in `extra` and
+    land in the right columns (id-bound wire bindings)."""
+    root = str(tmp_path / "t")
+    LakeTable.create(root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    ddl = SchemaChange(
+        kind="batch",
+        changes=(
+            SchemaChange(kind="add_column", name="stars", type="int"),
+            SchemaChange(kind="add_column", name="forks", type="int"),
+        ),
+    ).to_json()
+    rename = SchemaChange(kind="rename_table", name="repos_renamed").to_json()
+    rows = [
+        # seq, txn, op, repo, path, commit, lang, content, ddl, extra
+        (0, 0, "I", "o/r1", "a.py", "c0", "py", "v0", None, None),
+        (1, 0, "DDL", None, None, None, None, None, ddl, None),
+        (2, 1, "U", "o/r1", "a.py", "c1", "py", "v1", None,
+         json.dumps({"stars": "5", "forks": "7"})),
+        (3, 1, "DDL", None, None, None, None, None, rename, None),
+        (4, 2, "I", "o/r2", "b.py", "c2", "py", "v2", None,
+         json.dumps({"stars": "9"})),
+    ]
+    ev = pd.DataFrame(
+        rows,
+        columns=["seq", "txn_id", "op", "repo", "path", "commit", "lang",
+                 "content", "ddl", "extra"],
+    )
+    ev["ts"] = pd.Timestamp(gen.EPOCH0) + pd.to_timedelta(ev["seq"], unit="s")
+    events_dir = str(tmp_path / "events")
+    import os
+
+    os.makedirs(events_dir)
+    spark.createDataFrame(ev, event_schema()).coalesce(1).write.parquet(
+        events_dir, mode="overwrite"
+    )
+    job = CdcIngestJob(spark, root, events_dir, str(tmp_path / "c"), num_buckets=2)
+    job.run_incremental(available_now=True, timeout_s=300)
+
+    table = LakeTable.load(root)
+    assert table.meta["properties"]["table_name"] == "repos_renamed"
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert got["a.py"]["stars"] == 5 and got["a.py"]["forks"] == 7
+    assert got["b.py"]["stars"] == 9 and got["b.py"]["forks"] is None
+    assert got["a.py"]["content"] == "v1"
+
+
+def test_timestamp_startup_mode(spark, tmp_path):
+    """StartupMode TIMESTAMP: resolve ts → seq with one log query, then
+    bounded replay from that offset equals the oracle over the log tail."""
+    paths = gen.write_fixture(
+        str(tmp_path / "fx"), 100, 400, seed=14, n_event_files=3, with_ddl=False
+    )
+    events = pd.read_parquet(paths["events"])
+    start_ts = gen.EPOCH0 + pd.Timedelta(seconds=150)
+
+    LakeTable.create(str(tmp_path / "t"), REPO_FIELDS, REPO_KEY, num_buckets=4)
+    job = CdcIngestJob(spark, str(tmp_path / "t"), paths["events"],
+                       str(tmp_path / "c"), num_buckets=4)
+    # ts is EPOCH0 + seq seconds, so the resolved offset is exact
+    assert job.resolve_timestamp(start_ts) == 150
+
+    empty_base = pd.DataFrame(columns=["repo", "path", "commit", "lang", "content"])
+    expected, _ = oracle.replay(empty_base, events[events["seq"] >= 150])
+    job.run_incremental(available_now=True, timeout_s=300, start_ts=start_ts)
+
+    got = LakeTable.load(str(tmp_path / "t")).scan(spark).toPandas()
+    got = got.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert len(got) == len(expected)
+    assert (got["content"].values == expected["content"].values).all()
+
+    # a timestamp past the log end streams nothing
+    LakeTable.create(str(tmp_path / "t2"), REPO_FIELDS, REPO_KEY, num_buckets=4)
+    job2 = CdcIngestJob(spark, str(tmp_path / "t2"), paths["events"],
+                        str(tmp_path / "c2"), num_buckets=4)
+    assert job2.resolve_timestamp(gen.EPOCH0 + pd.Timedelta(days=30)) is None
+    job2.run_incremental(
+        available_now=True, timeout_s=300,
+        start_ts=gen.EPOCH0 + pd.Timedelta(days=30),
+    )
+    assert LakeTable.load(str(tmp_path / "t2")).scan(spark).count() == 0
+
+    with pytest.raises(ValueError):
+        job2.run_incremental(start_seq=1, start_ts=start_ts)
+
+
+def test_delay_metrics_recorded(spark, tmp_path):
+    """CDCRecordFetchDelay / CDCRecordEmitDelay parity: every incremental
+    batch records both, and emit >= fetch (commit happens after fetch)."""
+    paths = gen.write_fixture(
+        str(tmp_path / "fx"), 50, 200, seed=15, n_event_files=2, with_ddl=False
+    )
+    LakeTable.create(str(tmp_path / "t"), REPO_FIELDS, REPO_KEY, num_buckets=4)
+    job = CdcIngestJob(spark, str(tmp_path / "t"), paths["events"],
+                       str(tmp_path / "c"), num_buckets=4)
+    job.run_incremental(available_now=True, timeout_s=300)
+
+    m = spark.read.parquet(job.metrics_dir).where(F.col("phase") == "incremental")
+    rows = m.collect()
+    assert rows, "no incremental metrics recorded"
+    for r in rows:
+        assert r["fetch_delay_ms"] is not None
+        assert r["emit_delay_ms"] is not None
+        assert r["emit_delay_ms"] >= r["fetch_delay_ms"]
