@@ -740,6 +740,38 @@ def f_math_funcs2(spark, sf_dir):
 
 
 @_reg(
+    "f_decimal_funcs",
+    """
+    SELECT l_returnflag,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_disc_price,
+           CAST(max(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS max_qty,
+           CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS min_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def f_decimal_funcs(spark, sf_dir):
+    """DECIMAL(p,s) lattice parity (reference TypeConverterUtils.java:55-123
+    DECIMAL branch): exact decimal casts, scale-propagating multiply
+    ((12,2)×(12,4) → scale 6), exact decimal SUM/MIN/MAX. Aggregates are
+    emitted as strings because decimal-to-string is scale-exact on both
+    engines, while DuckDB's pandas bridge degrades decimals to float64 —
+    the string keeps the comparison bit-exact where a double would round."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(12,4)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_price"),
+        F.sum(price * disc1).cast("decimal(38,6)").cast("string").alias("sum_disc_price"),
+        F.max(qty).cast("string").alias("max_qty"),
+        F.min(price).cast("string").alias("min_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@_reg(
     "udf_sha256",
     "SELECT doc_id, sha256(text) AS text_sha FROM documents",
 )

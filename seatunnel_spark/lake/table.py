@@ -47,13 +47,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from seatunnel_spark.schema import LEGAL_WIDENINGS, SchemaChange
+from seatunnel_spark.schema import SchemaChange, is_legal_widening
 
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 
 
 def _type_of(ddl: str) -> T.DataType:
-    return T.StructType.fromDDL(f"x {ddl}")[0].dataType
+    from seatunnel_spark.schema import sqltype_to_spark
+
+    return sqltype_to_spark(ddl)
 
 
 class LakeTable:
@@ -422,7 +424,7 @@ class LakeTable:
                 f["name"] = ch.name
             elif ch.kind == "widen_type":
                 f = next(f for f in fields if f["name"] == ch.name)
-                if (f["type"], ch.type) not in LEGAL_WIDENINGS:
+                if not is_legal_widening(f["type"], ch.type):
                     raise ValueError(f"illegal widening {f['type']} -> {ch.type}")
                 f["type"] = ch.type
             elif ch.kind == "drop_column":

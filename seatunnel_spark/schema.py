@@ -47,6 +47,30 @@ SQLTYPE_TO_SPARK: dict[str, T.DataType] = {
     "TIMESTAMP": T.TimestampType(),
 }
 
+
+def sqltype_to_spark(name: str) -> T.DataType:
+    """Full SqlType lattice → Spark, including the parameterized kinds the
+    reference's Spark translation handles (TypeConverterUtils.java:55-123):
+
+    - ``DECIMAL(p,s)`` → DecimalType(p,s)
+    - ``ARRAY<T>`` → ArrayType(T)
+    - ``MAP<K,V>`` → MapType(K,V)
+    - ``ROW<name type, ...>`` → StructType (reference SeaTunnelRowType)
+
+    Nested forms compose (``ARRAY<DECIMAL(10,2)>``); plain names fall back to
+    the scalar map above. Spark's own DDL parser already implements exactly
+    this grammar (`decimal(p,s)`, `array<t>`, `map<k,v>`, `struct<...>`), so
+    non-scalar types delegate to it — one grammar, no drift.
+    """
+    up = name.strip().upper()
+    if up in SQLTYPE_TO_SPARK:
+        return SQLTYPE_TO_SPARK[up]
+    ddl = name.strip().replace("ROW<", "struct<").replace("row<", "struct<")
+    return T.StructType.fromDDL(f"x {ddl}")[0].dataType
+
+
+_DECIMAL_RE_P = r"^decimal\((\d+),\s*(\d+)\)$"
+
 # Type-widening lattice used by widen_type DDL (only widenings that parquet
 # readers can satisfy with a cast are legal — same rule Iceberg enforces).
 LEGAL_WIDENINGS: set[tuple[str, str]] = {
@@ -58,6 +82,21 @@ LEGAL_WIDENINGS: set[tuple[str, str]] = {
     ("tinyint", "bigint"),
     ("float", "double"),
 }
+
+
+def is_legal_widening(old: str, new: str) -> bool:
+    """The enumerable widenings plus the DECIMAL rule Iceberg enforces:
+    precision may grow, scale must stay fixed — decimal(P,S) → decimal(P',S)
+    with P' >= P (values re-read exactly; a scale change would re-quantize)."""
+    import re
+
+    o, n = old.strip().lower(), new.strip().lower()
+    if (o, n) in LEGAL_WIDENINGS:
+        return True
+    mo, mn = re.match(_DECIMAL_RE_P, o), re.match(_DECIMAL_RE_P, n)
+    if mo and mn:
+        return int(mn.group(2)) == int(mo.group(2)) and int(mn.group(1)) >= int(mo.group(1))
+    return False
 
 # ------------------------------------------------------- table schemas
 # The BASELINE input shape: an Iceberg table of source-code repositories.

@@ -196,3 +196,54 @@ def test_delay_metrics_recorded(spark, tmp_path):
         assert r["fetch_delay_ms"] is not None
         assert r["emit_delay_ms"] is not None
         assert r["emit_delay_ms"] >= r["fetch_delay_ms"]
+
+
+def test_complex_type_lattice_through_lake(spark, tmp_path):
+    """DECIMAL(p,s)/ARRAY/MAP/ROW columns (TypeConverterUtils.java:55-123)
+    survive create → merge → scan alignment, and DECIMAL obeys the Iceberg
+    widening rule (precision up / scale fixed)."""
+    from seatunnel_spark.schema import sqltype_to_spark
+    from pyspark.sql import types as T
+
+    # SqlType name → Spark type, parameterized kinds included
+    assert sqltype_to_spark("DECIMAL(10,2)") == T.DecimalType(10, 2)
+    assert sqltype_to_spark("ARRAY<INT>") == T.ArrayType(T.IntegerType())
+    assert sqltype_to_spark("MAP<STRING,BIGINT>") == T.MapType(T.StringType(), T.LongType())
+    assert sqltype_to_spark("ROW<a INT, b STRING>") == T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+
+    fields = [
+        ("repo", "string"), ("path", "string"),
+        ("price", "decimal(10,2)"),
+        ("tags", "array<string>"),
+        ("counts", "map<string,int>"),
+        ("meta", "struct<stars:int,lic:string>"),
+    ]
+    t = LakeTable.create(str(tmp_path / "t"), fields, ["repo", "path"], num_buckets=2)
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [("o/r", "a.py", Decimal("12.34"), ["x", "y"], {"k": 3}, (5, "mit"), "I", 0),
+         ("o/r", "b.py", Decimal("0.05"), [], {}, (1, "apl"), "I", 1)],
+        "repo string, path string, price decimal(10,2), tags array<string>, "
+        "counts map<string,int>, meta struct<stars:int,lic:string>, op string, seq long",
+    )
+    merge_into(spark, t, df, "e1")
+    got = {r["path"]: r for r in t.scan(spark).collect()}
+    assert got["a.py"]["price"] == Decimal("12.34")
+    assert got["a.py"]["tags"] == ["x", "y"] and got["a.py"]["counts"] == {"k": 3}
+    assert got["a.py"]["meta"]["stars"] == 5
+
+    # decimal widening: precision up at fixed scale is legal...
+    assert t.update_schema(SchemaChange(kind="widen_type", name="price",
+                                        type="decimal(14,2)"), "d1")
+    assert dict(t.scan(spark).dtypes)["price"] == "decimal(14,2)"
+    assert {r["path"]: r["price"] for r in t.scan(spark).collect()}["a.py"] == Decimal("12.34")
+    # ...scale or precision shrink is not
+    with pytest.raises(ValueError):
+        t.update_schema(SchemaChange(kind="widen_type", name="price",
+                                     type="decimal(14,4)"), "d2")
+    with pytest.raises(ValueError):
+        t.update_schema(SchemaChange(kind="widen_type", name="price",
+                                     type="decimal(10,2)"), "d3")
