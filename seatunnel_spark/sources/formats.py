@@ -35,6 +35,9 @@ def debezium_envelope_schema(row_schema: T.StructType) -> T.StructType:
                     [
                         T.StructField("table", T.StringType(), True),
                         T.StructField("db", T.StringType(), True),
+                        # source log position (MySQL binlog pos / PG lsn) —
+                        # the per-key ordering key; ts_ms is the fallback
+                        T.StructField("seq", T.LongType(), True),
                     ]
                 ),
                 True,
@@ -59,9 +62,10 @@ def parse_debezium_json(
         op.alias("op"),
         env["source"]["table"].alias("_table"),
         env["ts_ms"].alias("ts_ms"),
+        F.coalesce(env["source"]["seq"], env["ts_ms"]).alias("_seq"),
         image.alias("_row"),
     )
-    return out.select("op", "_table", "ts_ms", "_row.*")
+    return out.select("op", "_table", "ts_ms", "_seq", "_row.*")
 
 
 def canal_envelope_schema(row_schema: T.StructType) -> T.StructType:
@@ -90,6 +94,7 @@ def parse_canal_json(
         op.alias("op"),
         env["table"].alias("_table"),
         env["ts"].alias("ts_ms"),
+        env["ts"].alias("_seq"),
         F.explode(env["data"]).alias("_row"),
     )
-    return out.select("op", "_table", "ts_ms", "_row.*")
+    return out.select("op", "_table", "ts_ms", "_seq", "_row.*")

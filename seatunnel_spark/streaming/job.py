@@ -142,7 +142,14 @@ class CdcIngestJob:
         max_files_per_trigger: int = 2,
         total_events: int | None = None,
         exactly_once: bool = True,
+        wire_format: str = "parquet-events",
+        wire_row_schema=None,
     ):
+        """``wire_format``: 'parquet-events' (the native typed log) or a
+        queue value format — 'debezium-json' / 'canal-json' — in which case
+        ``events_dir`` holds text files of one JSON envelope per line (the
+        Kafka value shape; sources/queue.py documents the broker swap) and
+        ``wire_row_schema`` (StructType) types the row images."""
         self.spark = spark
         self.table_root = table_root
         self.events_dir = events_dir
@@ -151,6 +158,8 @@ class CdcIngestJob:
         self.max_files_per_trigger = max_files_per_trigger
         self.total_events = total_events
         self.exactly_once = exactly_once
+        self.wire_format = wire_format
+        self.wire_row_schema = wire_row_schema
         self.lineage_dir = os.path.join(table_root, "lineage")
         self.metrics_dir = os.path.join(table_root, "metrics")
         self._events_applied = 0
@@ -200,6 +209,11 @@ class CdcIngestJob:
         the `ts >= t` predicate pushes down to parquet row-group stats, so
         the scan touches only the log tail. Returns None when no event is at
         or after the timestamp (nothing to replay)."""
+        if self.wire_format != "parquet-events":
+            raise NotImplementedError(
+                "TIMESTAMP startup needs the typed log; queue sources seek "
+                "by broker timestamp index (Kafka offsetsForTimes) instead"
+            )
         row = (
             self.spark.read.schema(event_schema())
             .parquet(self.events_dir)
@@ -239,11 +253,22 @@ class CdcIngestJob:
                 start_seq = (1 << 62)
         self._start_seq = start_seq
         self._stop_seq = stop_seq
-        stream = (
-            self.spark.readStream.schema(event_schema())
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .parquet(self.events_dir)
-        )
+        if self.wire_format == "parquet-events":
+            stream = (
+                self.spark.readStream.schema(event_schema())
+                .option("maxFilesPerTrigger", self.max_files_per_trigger)
+                .parquet(self.events_dir)
+            )
+        else:
+            from seatunnel_spark.sources.queue import read_changelog_stream
+
+            stream = read_changelog_stream(
+                self.spark,
+                self.events_dir,
+                self.wire_format,
+                self.wire_row_schema,
+                self.max_files_per_trigger,
+            )
         writer = (
             stream.writeStream.foreachBatch(self._apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)
