@@ -740,6 +740,45 @@ def f_math_funcs2(spark, sf_dir):
 
 
 @_reg(
+    "jdbc_split_ranges",
+    """
+    WITH b AS (
+        SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+               greatest((max(o_orderkey) - min(o_orderkey) + 1 + 7) // 8, 1) AS step
+        FROM orders
+    )
+    SELECT i AS chunk_id,
+           lo + i * step AS lo_key,
+           least(lo + i * step + step - 1, hi) AS hi_key
+    FROM b, (SELECT unnest(generate_series(0, 7)) AS i)
+    WHERE lo + i * step <= hi
+    """,
+)
+def jdbc_split_ranges(spark, sf_dir):
+    """JDBC chunk-splitter semantics (sources/jdbc.compute_numeric_splits;
+    reference AbstractJdbcSourceChunkSplitter.splitEvenlySizedChunks): one
+    MIN/MAX discovery pass, then evenly-sized inclusive ranges covering
+    [lo, hi] with the tail absorbing the remainder — the ranges Spark's JDBC
+    partitioned read turns into per-executor WHERE-bounded queries."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+    ).withColumn("step", F.greatest(F.expr("(hi - lo + 1 + 7) div 8"), F.lit(1)))
+    return (
+        b.select("lo", "hi", "step", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"))
+        .where(F.col("lo") + F.col("i") * F.col("step") <= F.col("hi"))
+        .select(
+            F.col("i").cast("bigint").alias("chunk_id"),
+            (F.col("lo") + F.col("i") * F.col("step")).alias("lo_key"),
+            F.least(
+                F.col("lo") + F.col("i") * F.col("step") + F.col("step") - 1, F.col("hi")
+            ).alias("hi_key"),
+        )
+    )
+
+
+@_reg(
     "f_decimal_funcs",
     """
     SELECT l_returnflag,

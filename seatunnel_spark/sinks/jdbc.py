@@ -1,0 +1,143 @@
+"""JDBC upsert sink: distributed stage + one set-based MERGE.
+
+Reference: connector-jdbc sink — the dialect-specific upsert DML
+(MysqlDialect.getUpsertStatement → INSERT .. ON DUPLICATE KEY UPDATE,
+PostgresDialect → INSERT .. ON CONFLICT DO UPDATE, plus the generic
+MERGE INTO path) executed by BufferedBatchStatementExecutor per checkpoint.
+
+Spark-first mapping: instead of row-buffered prepared statements on each
+worker (per-row latency, connection churn), the batch is staged with the
+distributed ``df.write.jdbc`` (every executor streams its partition over its
+own connection) and then ONE set-based upsert DML moves staging → target
+inside the database — the database's own merge engine does the keyed update,
+which is the scale-correct shape: network transfer is parallel, the merge is
+a single transactional statement (the lake sink's 2PC analog: stage, then
+atomically publish). Exactly-once across retries comes from the epoch ledger
+upstream (the staged table is TRUNCATE-replaced per epoch, and the merge is
+idempotent: re-running it converges to the same target state).
+
+Dialect SQL is generated here and unit-tested as text; only Derby is
+executable in this sandbox (it ships in Spark's classpath) — the e2e
+roundtrip test runs against embedded Derby.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from seatunnel_spark.sources.jdbc import driver_connection
+
+
+class AnsiMergeDialect:
+    """MERGE INTO (ANSI / Derby / Oracle / SQLServer-style)."""
+
+    name = "ansi"
+
+    def q(self, ident: str) -> str:
+        return '"' + ident.replace('"', '""') + '"'
+
+    def upsert_from_staging(
+        self, target: str, staging: str, cols: list[str], key: list[str]
+    ) -> str:
+        qc = self.q
+        on = " AND ".join(f"t.{qc(k)} = s.{qc(k)}" for k in key)
+        non_key = [c for c in cols if c not in key]
+        sets = ", ".join(f"{qc(c)} = s.{qc(c)}" for c in non_key)
+        ins_cols = ", ".join(qc(c) for c in cols)
+        ins_vals = ", ".join(f"s.{qc(c)}" for c in cols)
+        stmt = f"MERGE INTO {target} t USING {staging} s ON {on}"
+        if sets:
+            stmt += f" WHEN MATCHED THEN UPDATE SET {sets}"
+        stmt += f" WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        return stmt
+
+
+class MySqlDialect(AnsiMergeDialect):
+    """INSERT .. ON DUPLICATE KEY UPDATE (MysqlDialect.getUpsertStatement)."""
+
+    name = "mysql"
+
+    def q(self, ident: str) -> str:
+        return "`" + ident.replace("`", "``") + "`"
+
+    def upsert_from_staging(self, target, staging, cols, key):
+        qc = self.q
+        ins_cols = ", ".join(qc(c) for c in cols)
+        non_key = [c for c in cols if c not in key]
+        sets = ", ".join(f"{qc(c)} = new.{qc(c)}" for c in non_key) or ", ".join(
+            f"{qc(k)} = new.{qc(k)}" for k in key
+        )
+        return (
+            f"INSERT INTO {target} ({ins_cols}) "
+            f"SELECT {ins_cols} FROM {staging} AS new "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+
+
+class PostgresDialect(AnsiMergeDialect):
+    """INSERT .. ON CONFLICT DO UPDATE (PostgresDialect.getUpsertStatement)."""
+
+    name = "postgres"
+
+    def upsert_from_staging(self, target, staging, cols, key):
+        qc = self.q
+        ins_cols = ", ".join(qc(c) for c in cols)
+        conflict = ", ".join(qc(k) for k in key)
+        non_key = [c for c in cols if c not in key]
+        sets = ", ".join(f"{qc(c)} = EXCLUDED.{qc(c)}" for c in non_key)
+        stmt = (
+            f"INSERT INTO {target} ({ins_cols}) "
+            f"SELECT {ins_cols} FROM {staging} "
+            f"ON CONFLICT ({conflict}) "
+        )
+        stmt += f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
+        return stmt
+
+
+DIALECTS = {d.name: d() for d in (AnsiMergeDialect, MySqlDialect, PostgresDialect)}
+
+
+def jdbc_upsert_write(
+    df: DataFrame,
+    url: str,
+    target: str,
+    key: list[str],
+    dialect: AnsiMergeDialect | str = "ansi",
+    staging: str | None = None,
+    staging_column_types: str | None = None,
+) -> str:
+    """Upsert ``df`` into ``target`` (which must exist with a key/unique
+    constraint on ``key``): distributed stage, one set-based upsert, drop
+    staging. Returns the executed upsert SQL (for observability/tests).
+
+    ``staging_column_types`` forwards to Spark's createTableColumnTypes so
+    staged string columns can be VARCHAR instead of the dialect's LOB default
+    (Derby forbids comparing/merging CLOBs)."""
+    if isinstance(dialect, str):
+        dialect = DIALECTS[dialect]
+    staging = staging or f"{target}_STAGE"
+    cols = df.columns
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", staging)
+        .option("truncate", "true")  # epoch-idempotent restage
+        .mode("overwrite")
+    )
+    if staging_column_types:
+        writer = writer.option("createTableColumnTypes", staging_column_types)
+    writer.save()
+
+    sql = dialect.upsert_from_staging(target, staging, cols, key)
+    conn = driver_connection(df.sparkSession, url)
+    try:
+        st = conn.createStatement()
+        st.execute(sql)
+        try:
+            st.execute(f"DROP TABLE {staging}")
+        except Exception:
+            pass  # staging cleanup is best-effort; next run truncates it
+        st.close()
+    finally:
+        conn.close()
+    return sql
