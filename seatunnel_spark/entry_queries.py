@@ -1070,6 +1070,60 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+@_reg(
+    "ann_ivf_topk",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, cid, cv FROM (
+        SELECT e.vec_id, ct.cid, e.embedding AS cv,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], ct.embedding::DOUBLE[]), 8) DESC,
+                          ct.cid ASC) AS rn
+        FROM embeddings e, cent ct) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, ct.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], ct.embedding::DOUBLE[]), 8) DESC,
+                          ct.cid ASC) AS rn
+        FROM embeddings q, cent ct WHERE q.vec_id < 3) WHERE rn <= 2
+    )
+    SELECT query_id, vec_id, round(cos_raw, 5) AS cos_sim, rank
+    FROM (
+      SELECT p.query_id, a.vec_id,
+             round(list_cosine_similarity(p.qv::DOUBLE[], a.cv::DOUBLE[]), 8) AS cos_raw,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], a.cv::DOUBLE[]), 8) DESC,
+                        a.vec_id ASC) AS rank
+      FROM probes p JOIN assign a ON a.cid = p.cid
+      WHERE a.vec_id != p.query_id)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (the scale path past brute force): deterministic
+    md5-sampled coarse quantizer, map-only cell assignment with centroid
+    literals in-plan (zero corpus shuffle), top-nprobe probe join, exact
+    cosine only within probed cells. The oracle replays the identical
+    algorithm in SQL — same centroids, same 8dp rank keys, same ties."""
+    from seatunnel_spark.operators.similarity import ivf_fit, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centroids = ivf_fit(emb, 8)
+    queries = emb.where(F.col("vec_id") < 3)
+    out = ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 5).alias("cos_sim"), "rank"
+    )
+
+
 def _make_ann_lsh_query():
     """ann_lsh_buckets: random-hyperplane signatures, bucket histogram.
     The hyperplanes are deterministic md5-seeded literals EMBEDDED in both

@@ -11,9 +11,18 @@ Two tiers, as a 100 TB pipeline needs:
   deterministic (seeded md5 folding) so results are reproducible and
   oracle-checkable.
 
-An IVF variant (k-means coarse quantizer) is the next step noted here; LSH
-was chosen first because it is stateless/deterministic — no trained model to
-persist.
+Third tier — IVF (inverted-file index, the FAISS IVF-Flat shape):
+- ``ivf_fit`` picks a deterministic pseudo-random sample of corpus vectors
+  as the coarse quantizer's centroids (md5-ordered take — k-means init
+  without the iterations; centroid quality trades recall, never correctness,
+  and determinism keeps the whole operator DuckDB-oracle-checkable).
+- ``ivf_assign`` maps every vector to its nearest cell with the centroids
+  embedded as plan literals: a pure projection, ZERO shuffle over the corpus
+  — at 10^9 vectors this is the difference between a map pass and a
+  corpus-wide shuffle.
+- ``ivf_topk`` probes the query's top-``nprobe`` cells and scores exact
+  cosine only against those cells' members (the broadcast-joined candidate
+  slice), then ranks per query.
 """
 
 from __future__ import annotations
@@ -94,6 +103,88 @@ def lsh_signature(
     for b in bits[1:]:
         sig = sig + b
     return df.withColumn("lsh_sig", sig.cast("int"))
+
+
+def ivf_fit(
+    df: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the n_centroids corpus vectors with
+    the smallest md5(id) (a seeded pseudo-random sample — k-means init
+    without iterations). Spark executes orderBy+limit as a map-side
+    takeOrdered, so this is one O(corpus) pass collecting k tiny rows."""
+    rows = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _cell_ranking(vec, centroids: list[tuple[int, list[float]]], nprobe: int) -> F.Column:
+    """Array of the nprobe nearest centroid ids for ``vec`` — a single
+    codegen'd projection with the centroids as literals (no join, no
+    shuffle). Ties break to the smallest centroid id: structs sort by
+    (cos desc, -cid desc) == (cos desc, cid asc)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(cosine(vec, F.array(*[F.lit(v) for v in cvec])), 8).alias("cos"),
+                F.lit(-cid).alias("neg_cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    ranked = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
+    return F.transform(ranked, lambda s: -s["neg_cid"])
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-cell assignment as a pure map (centroid literals in-plan)."""
+    return df.withColumn(
+        "cell", F.element_at(_cell_ranking(F.col(vec_col), centroids, 1), 1)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat search: probe each query's top-``nprobe`` cells, exact cosine
+    only within those cells. Corpus side stays map-shaped (assignment is a
+    projection; the query×probe table is broadcast), so the only shuffle is
+    the per-query top-k window over the candidate slice."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("cv"), "cell"
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_cell_ranking(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def lsh_near_dup_pairs(
