@@ -5,8 +5,8 @@
 ``seatunnel_spark.entry_queries``; every implemented operator from
 SURVEY.md §2 (CDC source/sink semantics, transforms, Zeta functions,
 analytics heads, and the training-data suite) has an entry, and all but the
-two genuinely non-SQL ones (mapInPandas media featurizer, LSH pair mining)
-carry a DuckDB oracle.
+one genuinely non-SQL one (the mapInPandas media featurizer, whose decode
+stage is an honest container-limit stub) carry a DuckDB oracle.
 """
 
 from __future__ import annotations

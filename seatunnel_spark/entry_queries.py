@@ -1273,6 +1273,55 @@ def text_fingerprint(spark, sf_dir):
 
 
 @_reg(
+    "text_pii_redact",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 555 123 4567 at 10.0.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+[0-9]{1,3}[ -]?[0-9]{3}[ -]?[0-9]{3,4}[ -]?[0-9]{3,4}', '<PHONE>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')) AS redacted_md5,
+           (length(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'))
+            - length(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g')))::BIGINT AS n_email,
+           (length(regexp_replace(t, '\+[0-9]{1,3}[ -]?[0-9]{3}[ -]?[0-9]{3,4}[ -]?[0-9]{3,4}', ' ', 'g'))
+            - length(regexp_replace(t, '\+[0-9]{1,3}[ -]?[0-9]{3}[ -]?[0-9]{3,4}[ -]?[0-9]{3,4}', '', 'g')))::BIGINT AS n_phone,
+           (length(regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', ' ', 'g'))
+            - length(regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '', 'g')))::BIGINT AS n_ipv4
+    FROM d
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrub (operators/text.pii_redact): typed placeholder redaction of
+    emails / phones / IPv4 with per-class hit counts. PII is synthesized
+    deterministically in-query (the corpus has none), so every row exercises
+    every pattern; the redacted text is compared by md5."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 123 4567 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = text.pii_redact(docs)
+    return out.select(
+        "doc_id",
+        F.md5("text_redacted").alias("redacted_md5"),
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+    )
+
+
+@_reg(
     "pk_salted_apply_digest",
     """
     SELECT source,

@@ -78,3 +78,30 @@ def fingerprint(df: DataFrame, col: str = "text", out: str = "fp") -> DataFrame:
     deterministic rolling-hash stand-in that DuckDB reproduces bit-for-bit."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
     return df.withColumn(out, F.md5(normalized))
+
+
+# PII patterns: email, E.164-ish phone, IPv4 — the standard pre-training
+# scrub set. POSIX-class-free so Spark (Java regex) and DuckDB (RE2) agree.
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{1,3}[ -]?[0-9]{3}[ -]?[0-9]{3,4}[ -]?[0-9]{3,4}", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(df: DataFrame, col: str = "text") -> DataFrame:
+    """PII scrub for training corpora: replace emails / phone numbers / IPv4
+    addresses with typed placeholder tokens and count the hits per class —
+    the redaction pass every web-scale pretraining pipeline runs before
+    tokenization. Chained codegen'd regexp_replace, no Python, no shuffle;
+    pipelines with the scan like the other text ops."""
+    out = F.col(col)
+    counts = []
+    for name, pat, token in _PII_PATTERNS:
+        n = (
+            F.length(F.regexp_replace(out, pat, " "))
+            - F.length(F.regexp_replace(out, pat, ""))
+        )
+        counts.append(n.cast("bigint").alias(f"n_{name}"))
+        out = F.regexp_replace(out, pat, token)
+    return df.select("*", out.alias("text_redacted"), *counts)

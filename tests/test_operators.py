@@ -238,3 +238,24 @@ def test_ivf_topk_recall_and_plan(spark):
     full = similarity.ivf_topk(emb, queries, cents, k=5, nprobe=8)
     f = {(r["query_id"], r["vec_id"]) for r in full.collect()}
     assert f == e
+
+
+def test_pii_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org today"),
+            (2, "call +44 207 946 0958 or +1 555 123 4567"),
+            (3, "server at 192.168.1.254 and 10.0.0.1 is up"),
+            (4, "no pii here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in text.pii_redact(df).collect()}
+    assert got[1]["text_redacted"] == "mail me at <EMAIL> today"
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 0
+    assert got[2]["text_redacted"] == "call <PHONE> or <PHONE>"
+    assert got[2]["n_phone"] == 2
+    assert got[3]["text_redacted"] == "server at <IP> and <IP> is up"
+    assert got[3]["n_ipv4"] == 2
+    assert got[4]["text_redacted"] == "no pii here at all"
+    assert got[4]["n_email"] == got[4]["n_phone"] == got[4]["n_ipv4"] == 0
