@@ -46,16 +46,20 @@ COMPACT_THRESHOLD = 8
 from seatunnel_spark.operators.dedup import lww_reduce  # noqa: E402  (shared reducer)
 
 
-def _write_bucketed(table: LakeTable, df: DataFrame, n_partitions: int) -> dict[int, list[dict]]:
+def _write_bucketed(
+    table: LakeTable, df: DataFrame, n_partitions: int, pre_partitioned: bool = False
+) -> dict[int, list[dict]]:
     """Write df (with a ``bucket`` column) partitioned by bucket under a fresh
-    staging dir; return {bucket: [file entries]} relative to the table root."""
+    staging dir; return {bucket: [file entries]} relative to the table root.
+
+    ``pre_partitioned=True``: the caller guarantees each bucket's rows are
+    already wholly inside one partition (merge_into's single-exchange plan),
+    so no repartition — partitionBy alone yields one file per bucket."""
     staging_rel = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}")
     staging_abs = os.path.join(table.root, staging_rel)
-    (
-        df.repartition(max(n_partitions, 1), "bucket")
-        .write.partitionBy("bucket")
-        .parquet(staging_abs)
-    )
+    if not pre_partitioned:
+        df = df.repartition(max(n_partitions, 1), "bucket")
+    df.write.partitionBy("bucket").parquet(staging_abs)
     schema_id = table.meta["current_schema_id"]
     out: dict[int, list[dict]] = {}
     for entry in os.listdir(staging_abs):
@@ -99,9 +103,18 @@ def merge_into(
     batch = batch.select(*field_names, "op", "seq").withColumn(
         "bucket", table.bucket_expr()
     )
-    reduced = lww_reduce(batch, key).withColumnRenamed("op", "_op").withColumnRenamed(
-        "seq", "_seq"
-    )
+    # Single-exchange merge (murmur3-bucketed tables): bucket id == Spark's
+    # own HashPartitioning(key) partition id, so the reduce's probe-side
+    # repartition is reused by everything downstream — the semi-join, the
+    # byte-dup distinct, and the bucketed file write all see their required
+    # clustering already satisfied and insert no further exchange. Wide
+    # payload bytes cross the wire exactly once per batch (previously twice:
+    # join exchange + write repartition); the winners aggregate ships only
+    # narrow (key, seq, hash) bytes, partially combined map-side.
+    pre_partitioned = table.meta.get("bucket_fn") == "murmur3"
+    reduced = lww_reduce(
+        batch, key, bucket_partitions=table.num_buckets if pre_partitioned else None
+    ).withColumnRenamed("op", "_op").withColumnRenamed("seq", "_seq")
 
     stats = None
     if collect_stats:
@@ -117,7 +130,9 @@ def merge_into(
             )
             return {"epoch_id": epoch_id, "batch_rows": 0, "buckets": []}
 
-    new_files = _write_bucketed(table, reduced, table.num_buckets)
+    new_files = _write_bucketed(
+        table, reduced, table.num_buckets, pre_partitioned=pre_partitioned
+    )
     if collect_stats:
         reduced.unpersist()
     affected = sorted(new_files)

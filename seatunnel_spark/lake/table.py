@@ -95,6 +95,7 @@ class LakeTable:
         meta = {
             "format_version": 1,
             "table_uuid": str(uuid.uuid4()),
+            "bucket_fn": "murmur3",
             "num_buckets": num_buckets,
             "key": list(key),
             "schemas": {"0": schema},
@@ -189,7 +190,16 @@ class LakeTable:
         return epoch_id in self.meta["epochs"]
 
     def bucket_expr(self, df_cols: list[str] | None = None) -> F.Column:
-        return F.pmod(F.xxhash64(*self.key), F.lit(self.num_buckets)).cast("int")
+        """Key → bucket id. New tables use ``pmod(hash(key), n)`` — murmur3
+        with Spark's default seed, i.e. EXACTLY the function HashPartitioning
+        evaluates — so ``df.repartition(n, *key)`` places each bucket's rows
+        wholly in partition id == bucket id. That identity lets the merge
+        path run reduce + bucketed write off ONE wide exchange (merge.py).
+        Tables created before bucket_fn was recorded keep xxhash64 (the
+        function is frozen at create time: data layout depends on it)."""
+        fn = self.meta.get("bucket_fn", "xxhash64")
+        h = F.hash(*self.key) if fn == "murmur3" else F.xxhash64(*self.key)
+        return F.pmod(h, F.lit(self.num_buckets)).cast("int")
 
     # ------------------------------------------------------------ scanning
     def scan(

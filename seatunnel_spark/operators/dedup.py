@@ -42,7 +42,11 @@ def lww_dedup_agg(df: DataFrame, key: list[str], order_col: str = "seq") -> Data
 
 
 def lww_reduce(
-    df: DataFrame, key: list[str], order_col: str = "seq", strategy: str = "auto"
+    df: DataFrame,
+    key: list[str],
+    order_col: str = "seq",
+    strategy: str = "auto",
+    bucket_partitions: int | None = None,
 ) -> DataFrame:
     """One row per key: the one with the max ``order_col`` (LWW).
 
@@ -60,20 +64,44 @@ def lww_reduce(
     Ties: rows equal on (key, order_col) are broken deterministically by
     max xxhash64(payload), so the one-row-per-key contract holds even for
     sources with non-unique ordering values (e.g. timestamp-ordered input).
-    The tie-break aggregate groups on the semi-join's own join keys, so
-    Catalyst reuses the join's partitioning — no extra exchange.
+    The tie-break hash rides INSIDE the winner aggregate — state per key is
+    max(struct(order, hash)), two longs — so wide payload bytes still never
+    enter aggregation buffers (putting a max_by(full payload) after the join
+    was measured ~3x slower: every row's KBs churn through ObjectHashAggregate
+    state). Rows identical on (key, order, hash) are byte-identical
+    duplicates; the final distinct collapses them without a new exchange
+    (the join output is already hash-partitioned on a subset of the
+    grouping columns).
+
+    ``bucket_partitions``: single-exchange mode for the merge path. The wide
+    probe side is explicitly repartitioned by ``key`` into that many
+    partitions (== the lake's murmur3 bucket layout: partition id IS the
+    bucket id, LakeTable.bucket_expr) while the winners aggregate runs off
+    the RAW input — map-side partial combine, only narrow bytes cross its
+    exchange. With subset co-partitioning enabled (session.py) the
+    semi-join, the distinct, and the downstream bucketed file write all
+    reuse the probe side's one exchange: wide payload bytes cross the wire
+    exactly once per batch.
     """
     if strategy == "auto":
         strategy = "semi_join" if "content" in df.columns else "max_by"
     if strategy == "max_by":
-        return lww_dedup_agg(df, key, order_col)
-    winners = df.groupBy(*key).agg(F.max(order_col).alias(order_col))
-    survivors = df.join(winners.hint("shuffle_hash"), [*key, order_col], "leftsemi")
+        out = lww_dedup_agg(df, key, order_col)
+        return out.repartition(bucket_partitions, *key) if bucket_partitions else out
     payload = [c for c in df.columns if c not in key and c != order_col]
     if not payload:  # (key, order) ties are full-row duplicates
-        return survivors.distinct()
+        winners = df.groupBy(*key).agg(F.max(order_col).alias(order_col))
+        probe = df.repartition(bucket_partitions, *key) if bucket_partitions else df
+        return probe.join(winners.hint("shuffle_hash"), [*key, order_col], "leftsemi").distinct()
+    tagged = df.withColumn("_tb", F.xxhash64(*payload))
+    winners = (
+        tagged.groupBy(*key)
+        .agg(F.max(F.struct(F.col(order_col), F.col("_tb"))).alias("_w"))
+        .select(*key, F.col(f"_w.{order_col}").alias(order_col), F.col("_w._tb").alias("_tb"))
+    )
+    probe = tagged.repartition(bucket_partitions, *key) if bucket_partitions else tagged
     return (
-        survivors.groupBy(*key, order_col)
-        .agg(F.max_by(F.struct(*payload), F.xxhash64(*payload)).alias("_r"))
-        .select(*[F.col(f"_r.{c}").alias(c) if c in payload else F.col(c) for c in df.columns])
+        probe.join(winners.hint("shuffle_hash"), [*key, order_col, "_tb"], "leftsemi")
+        .distinct()
+        .drop("_tb")
     )

@@ -43,6 +43,11 @@ def get_spark(
         # keys/partition × row size must fit executor memory; tune with
         # shuffle partition count at scale.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        # the merge path pre-partitions each batch by the table key so the
+        # LWW semi-join (keys = key + order + tiebreak) reuses that single
+        # exchange; joins co-partitioned on a SUBSET of their keys need this
+        # off (our subset is the full PK — cardinality is never degraded)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -142,3 +142,45 @@ def test_schema_evolution_add_rename_widen(spark, table):
 def test_illegal_widening_rejected(spark, table):
     with pytest.raises(ValueError):
         table.update_schema(SchemaChange(kind="widen_type", name="repo", type="int"), "dx")
+
+
+def test_single_exchange_merge_plan(spark, table, tmp_path):
+    """The 100 TB shuffle contract: for murmur3-bucketed tables the LWW
+    reduce + bucketed write runs off ONE wide exchange — the probe-side
+    repartition by key (partition id == bucket id) is reused by the
+    semi-join, the byte-dup distinct, and the partitionBy write; the winners
+    branch ships only narrow (key, seq, hash) bytes. A delta commit must
+    produce exactly one file per touched bucket (stray exchanges would
+    scatter a bucket's rows across partitions → many files)."""
+    from seatunnel_spark.operators.dedup import lww_reduce
+
+    # num_buckets == shuffle partitions: the winners' narrow exchange needs
+    # no extra re-partition, giving the minimal two-exchange plan
+    table = LakeTable.create(str(tmp_path / "t8"), REPO_FIELDS, REPO_KEY, num_buckets=8)
+    assert table.meta["bucket_fn"] == "murmur3"
+    df = spark.range(5000).selectExpr(
+        "concat('o/r', id % 13) AS repo", "concat('p', id) AS path",
+        "md5(cast(id as string)) AS commit", "'py' AS lang",
+        "repeat(md5(cast(id as string)), 4) AS content", "'I' AS op", "id AS seq",
+    )
+    batch = df.withColumn("bucket", table.bucket_expr())
+    plan = (
+        lww_reduce(batch, table.key, bucket_partitions=table.num_buckets)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly two exchanges: the wide probe repartition + the narrow winners
+    # (Catalyst may retag the explicit repartition as ENSURE_REQUIREMENTS
+    # when it coincides with the join's requirement — the count is what
+    # matters: a third exchange means wide bytes crossed twice)
+    assert plan.count("Exchange") == 2, plan
+    # partition id == bucket id identity (repartition hash == bucket_expr)
+    mismatch = (
+        batch.repartition(table.num_buckets, *table.key)
+        .select((F.col("bucket") != F.expr("spark_partition_id()")).alias("bad"))
+        .where("bad").count()
+    )
+    assert mismatch == 0
+
+    merge_into(spark, table, df, "e1")
+    snap = table.refresh().current_snapshot()
+    assert all(len(fs) == 1 for fs in snap["bucket_files"].values())
