@@ -74,6 +74,35 @@ def _write_bucketed(
     return out
 
 
+def _footer_stats(table: LakeTable, new_files: dict[int, list[dict]]) -> dict:
+    """batch_rows + seq range from the written parquet footers — O(files)
+    driver-side metadata reads (row counts and `_seq` column statistics),
+    zero Spark jobs. The same trick Iceberg uses: commit metrics come from
+    file metadata, never a re-scan."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    lo = hi = None
+    for files in new_files.values():
+        for f in files:
+            md = pq.ParquetFile(os.path.join(table.root, f["path"])).metadata
+            n += md.num_rows
+            try:
+                idx = md.schema.names.index("_seq")
+            except ValueError:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    out: dict = {"batch_rows": int(n)}
+    if lo is not None:
+        out.update(seq_min=int(lo), seq_max=int(hi))
+    return out
+
+
 def merge_into(
     spark: SparkSession,
     table: LakeTable,
@@ -88,10 +117,13 @@ def merge_into(
     bucket's file stack is deep). ``batch`` columns: current table schema
     columns + ``op`` ('I'/'U'/'D') + ``seq``. Idempotent by epoch_id.
 
-    ``collect_stats=False`` skips the per-bucket stats pass (and the cache it
-    needs) so the merge is exactly ONE Spark action — reduce + write; the
-    streaming job uses this because its metadata pass already knows the
-    batch's seq range and count.
+    ``collect_stats=True`` adds batch_rows / seq range to the commit summary
+    — read driver-side from the written parquet FOOTERS (row counts + column
+    statistics), not from a Spark pass: stats are free metadata, never worth
+    a second materialization of the wide batch. ``collect_stats=False`` skips
+    even the footer reads; the streaming job uses it because its metadata
+    pass already knows the batch's seq range and count. Either way the merge
+    is exactly ONE Spark action — reduce + write.
     """
     table.refresh()
     if table.epoch_committed(epoch_id):
@@ -116,34 +148,14 @@ def merge_into(
         batch, key, bucket_partitions=table.num_buckets if pre_partitioned else None
     ).withColumnRenamed("op", "_op").withColumnRenamed("seq", "_seq")
 
-    stats = None
-    if collect_stats:
-        reduced = reduced.persist()
-        stats = reduced.groupBy("bucket").agg(
-            F.count("*").alias("n"), F.min("_seq").alias("lo"), F.max("_seq").alias("hi")
-        ).collect()
-        if not stats:
-            reduced.unpersist()
-            table.commit_snapshot(
-                {}, epoch_id, {"rows_written": 0, **(extra_summary or {})},
-                properties_update=properties_update,
-            )
-            return {"epoch_id": epoch_id, "batch_rows": 0, "buckets": []}
-
     new_files = _write_bucketed(
         table, reduced, table.num_buckets, pre_partitioned=pre_partitioned
     )
-    if collect_stats:
-        reduced.unpersist()
     affected = sorted(new_files)
 
     summary = {"operation": "merge-delta", "buckets_touched": len(affected)}
-    if stats is not None:
-        summary.update(
-            batch_rows=int(sum(r["n"] for r in stats)),
-            seq_min=min(r["lo"] for r in stats),
-            seq_max=max(r["hi"] for r in stats),
-        )
+    if collect_stats:
+        summary.update(_footer_stats(table, new_files))
     summary.update(extra_summary or {})
     committed = table.commit_snapshot(
         new_files, epoch_id, summary, properties_update=properties_update, mode="append"

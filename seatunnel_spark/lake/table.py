@@ -186,6 +186,20 @@ class LakeTable:
             return None
         return next(s for s in self.meta["snapshots"] if s["snapshot_id"] == sid)
 
+    def snapshot_history(self) -> list[dict]:
+        """Retained snapshots, oldest first — (snapshot_id, parent_id,
+        epoch_id, summary). Iceberg's table.history() equivalent."""
+        return list(self.meta["snapshots"])
+
+    def snapshot_by_id(self, snapshot_id: int) -> dict:
+        for s in self.meta["snapshots"]:
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise KeyError(
+            f"snapshot {snapshot_id} not retained "
+            f"(history keeps the last {len(self.meta['snapshots'])})"
+        )
+
     def epoch_committed(self, epoch_id: str) -> bool:
         return epoch_id in self.meta["epochs"]
 
@@ -207,9 +221,15 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         include_meta: bool = False,
+        snapshot_id: int | None = None,
     ) -> DataFrame:
         """Read the current snapshot (optionally only some buckets), aligning
         every data file to the current schema by column id.
+
+        ``snapshot_id``: time travel — read a retained historical snapshot
+        under the schema that was current when it committed (Iceberg's
+        ``VERSION AS OF``). Data files never change after commit, so the read
+        is exactly the state the table had at that snapshot.
 
         Files written under older schemas are projected: renamed columns are
         matched by id, added columns null-filled, widened columns cast — the
@@ -223,8 +243,15 @@ class LakeTable:
         ``include_meta=False`` (the user view) filters tombstones and hides
         the columns; the merge path reads with ``include_meta=True``.
         """
-        snap = self.current_snapshot()
-        cur = self.schema_fields()
+        if snapshot_id is not None:
+            snap = self.snapshot_by_id(snapshot_id)
+            # time travel reads under the schema current AT that snapshot;
+            # a live scan always uses the table's current schema (DDL-only
+            # commits advance the schema without creating a data snapshot)
+            cur = self.schema_fields(snap["schema_id"])
+        else:
+            snap = self.current_snapshot()
+            cur = self.schema_fields()
         meta_fields = [("_op", "string"), ("_seq", "bigint")]
 
         def finish(df: DataFrame) -> DataFrame:
@@ -233,7 +260,7 @@ class LakeTable:
             return df.where(F.col("_op") != "D").drop("_op", "_seq")
 
         empty_schema = T.StructType(
-            self.spark_schema().fields
+            [T.StructField(f["name"], _type_of(f["type"]), True) for f in cur]
             + [T.StructField(n, _type_of(t), True) for n, t in meta_fields]
         )
         if snap is None:
@@ -295,6 +322,64 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def changes_between(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+        include_meta: bool = True,
+    ) -> DataFrame:
+        """Incremental read: the change rows committed by snapshots in
+        ``(from, to]`` — the lake-as-a-CDC-source surface (reference:
+        connector-iceberg's streaming snapshot-tailing enumerator,
+        IcebergStreamSplitEnumerator.java; Iceberg's incremental append
+        scan). A downstream job polls ``current_snapshot()`` and reads
+        forward from its last position; each delta file is the LWW-reduced
+        change set of one committed batch, with ``_op``/``_seq`` exposing
+        RowKind and log offset (tombstones included — they ARE the deletes).
+
+        Only data-changing commits contribute: layout-only rewrites
+        (compaction / tombstone expiry) replace files without changing row
+        state and are skipped, so a consumer never re-reads rows it already
+        has. ``from_snapshot_id=None`` reads from the beginning of retained
+        history."""
+        cur = self.schema_fields()
+        new_files: list[dict] = []
+        for snap in self.meta["snapshots"]:
+            sid = snap["snapshot_id"]
+            if from_snapshot_id is not None and sid <= from_snapshot_id:
+                continue
+            if to_snapshot_id is not None and sid > to_snapshot_id:
+                continue
+            if snap["summary"].get("operation") in ("compact", "expire-tombstones"):
+                continue
+            parent = next(
+                (s for s in self.meta["snapshots"] if s["snapshot_id"] == snap["parent_id"]),
+                None,
+            )
+            parent_paths = {
+                f["path"]
+                for files in (parent["bucket_files"].values() if parent else [])
+                for f in files
+            }
+            for files in snap["bucket_files"].values():
+                for f in files:
+                    if f["path"] not in parent_paths:
+                        new_files.append(f)
+        out = self._read_aligned(spark, new_files, cur)
+        if out is None:
+            meta_fields = [("_op", "string"), ("_seq", "bigint")]
+            out = spark.createDataFrame(
+                [],
+                T.StructType(
+                    [T.StructField(f["name"], _type_of(f["type"]), True) for f in cur]
+                    + [T.StructField(n, _type_of(t), True) for n, t in meta_fields]
+                ),
+            )
+        if include_meta:
+            return out
+        return out.where(F.col("_op") != "D").drop("_op", "_seq")
 
     def delta_file_counts(self) -> dict[int, int]:
         snap = self.current_snapshot()

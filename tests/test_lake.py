@@ -184,3 +184,52 @@ def test_single_exchange_merge_plan(spark, table, tmp_path):
     merge_into(spark, table, df, "e1")
     snap = table.refresh().current_snapshot()
     assert all(len(fs) == 1 for fs in snap["bucket_files"].values())
+
+
+def test_time_travel_scan(spark, table):
+    merge_into(spark, table, _batch(spark, ROWS1), "e1")
+    v1 = table.refresh().meta["current_snapshot_id"]
+    b2 = _batch(spark, [("o/r1", "a.py", "c9", "py", "print(9)", "U", 10),
+                        ("o/r2", "c.go", None, None, None, "D", 11)])
+    merge_into(spark, table, b2, "e2")
+    # current state: a.py updated, c.go deleted
+    now = {r["path"]: r["content"] for r in table.scan(spark).collect()}
+    assert now == {"a.py": "print(9)", "b.py": "print(2)"}
+    # VERSION AS OF v1: pre-update state, c.go alive
+    old = {r["path"]: r["content"] for r in table.scan(spark, snapshot_id=v1).collect()}
+    assert old == {"a.py": "print(1)", "b.py": "print(2)", "c.go": "fmt"}
+    # time travel under the snapshot's OWN schema: rename after v1
+    table.update_schema(
+        SchemaChange(kind="rename_column", old_name="commit", name="commit_sha"), "d1"
+    )
+    assert "commit" in table.scan(spark, snapshot_id=v1).columns
+    assert "commit_sha" in table.scan(spark).columns
+    with pytest.raises(KeyError):
+        table.scan(spark, snapshot_id=9999)
+
+
+def test_changes_between_incremental_read(spark, table):
+    """Lake-as-CDC-source: a consumer polling snapshots reads each commit's
+    LWW-reduced change set exactly once; compaction rewrites contribute
+    nothing (layout-only)."""
+    merge_into(spark, table, _batch(spark, ROWS1), "e1")
+    v1 = table.refresh().meta["current_snapshot_id"]
+    b2 = _batch(spark, [("o/r1", "a.py", "c9", "py", "print(9)", "U", 10),
+                        ("o/r2", "c.go", None, None, None, "D", 11)])
+    merge_into(spark, table, b2, "e2")
+    v2 = table.refresh().meta["current_snapshot_id"]
+
+    ch = table.changes_between(spark, v1, v2).collect()
+    got = {(r["path"], r["_op"]) for r in ch}
+    assert got == {("a.py", "U"), ("c.go", "D")}
+    # from the beginning: initial inserts + the second batch
+    all_ch = table.changes_between(spark, None).collect()
+    assert len(all_ch) == len(ROWS1) + 2
+
+    # force a compaction-like rewrite; changes after v2 must be empty
+    from seatunnel_spark.lake.merge import expire_tombstones
+    expire_tombstones(spark, table, before_seq=100, epoch_id="exp1")
+    table.refresh()
+    assert table.changes_between(spark, v2).count() == 0
+    # user view (include_meta=False) hides tombstones
+    assert {r["path"] for r in table.changes_between(spark, v1, v2, include_meta=False).collect()} == {"a.py"}

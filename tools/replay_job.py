@@ -41,6 +41,10 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        # single-exchange merge: the probe-side repartition by key must be
+        # reusable by the LWW semi-join (keys = key + order + tiebreak) and
+        # the bucketed write — same conf as session.get_spark
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
