@@ -35,7 +35,9 @@ from seatunnel_spark.sources.formats import parse_canal_json, parse_debezium_jso
 WIRE_FORMATS = ("debezium-json", "canal-json")
 
 
-def changelog_to_events(parsed: DataFrame, row_fields: list[str]) -> DataFrame:
+def changelog_to_events(
+    parsed: DataFrame, row_fields: list[str], keep_table: bool = False
+) -> DataFrame:
     """(op, _table, ts_ms, _seq, <row fields>) → the internal event schema.
 
     ``seq`` comes from the parser's ``_seq`` (source offset, else ts_ms);
@@ -59,6 +61,10 @@ def changelog_to_events(parsed: DataFrame, row_fields: list[str]) -> DataFrame:
     cols.append(F.lit(None).cast("string").alias("ddl"))
     cols.append(F.lit(None).cast("string").alias("extra"))
     cols.append(F.timestamp_millis(F.col("ts_ms")).alias("ts"))
+    if keep_table:
+        # multi-table streams: the envelope's source table id rides along so
+        # MultiTableRouter can fan the batch out (MultipleRowType surface)
+        cols.append(F.col("_table"))
     return parsed.select(*cols)
 
 
@@ -68,6 +74,7 @@ def read_changelog_stream(
     wire_format: str,
     row_schema: T.StructType,
     max_files_per_trigger: int = 2,
+    keep_table: bool = False,
 ) -> DataFrame:
     """File-backed changelog stream: text files of one JSON envelope per line
     (exactly a Kafka topic's value column) → typed event stream. Swap the
@@ -81,4 +88,6 @@ def read_changelog_stream(
     )
     parse = parse_debezium_json if wire_format == "debezium-json" else parse_canal_json
     parsed = parse(raw, row_schema)
-    return changelog_to_events(parsed, [f.name for f in row_schema.fields])
+    return changelog_to_events(
+        parsed, [f.name for f in row_schema.fields], keep_table=keep_table
+    )

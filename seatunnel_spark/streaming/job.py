@@ -223,6 +223,25 @@ class CdcIngestJob:
         )
         return int(row["s"]) if row["s"] is not None else None
 
+    def resolve_stop_timestamp(self, stop_ts) -> int | None:
+        """StopMode TIMESTAMP → the largest seq whose event time is
+        <= stop_ts (the reference's binlog task self-terminates once it
+        reads past the stop timestamp). One bounded query, same pushdown
+        as resolve_timestamp."""
+        if self.wire_format != "parquet-events":
+            raise NotImplementedError(
+                "TIMESTAMP stop needs the typed log; queue sources stop "
+                "by broker timestamp index instead"
+            )
+        row = (
+            self.spark.read.schema(event_schema())
+            .parquet(self.events_dir)
+            .where(F.col("ts") <= F.lit(stop_ts))
+            .agg(F.max("seq").alias("s"))
+            .collect()[0]
+        )
+        return int(row["s"]) if row["s"] is not None else None
+
     def run_incremental(
         self,
         available_now: bool = True,
@@ -230,6 +249,7 @@ class CdcIngestJob:
         start_seq: int | None = None,
         stop_seq: int | None = None,
         start_ts=None,
+        stop_ts=None,
     ):
         """Tail the event log from the snapshot fences (min-high start, per
         reference IncrementalSplitAssigner.createIncrementalSplit:198-257).
@@ -251,6 +271,12 @@ class CdcIngestJob:
             if start_seq is None:
                 # nothing at/after the timestamp: empty bounded replay
                 start_seq = (1 << 62)
+        if stop_ts is not None:
+            if stop_seq is not None:
+                raise ValueError("pass stop_seq or stop_ts, not both")
+            stop_seq = self.resolve_stop_timestamp(stop_ts)
+            if stop_seq is None:
+                stop_seq = -1  # nothing at/before the timestamp: emit nothing
         self._start_seq = start_seq
         self._stop_seq = stop_seq
         if self.wire_format == "parquet-events":

@@ -71,3 +71,48 @@ def test_multi_table_stream(spark, tmp_path):
     # table's copy reflects ITS latest event
     last_a = t1.scan(spark).where(F.col("path") == "f1.py").collect()
     assert last_a and last_a[0]["content"] == "v181"
+
+
+def test_multi_table_from_queue_envelopes(spark, tmp_path):
+    """F4 x MultipleRowType composition: ONE debezium-JSON changelog stream
+    carrying two source tables routes each envelope to its own LakeTable —
+    the kafka-topic-to-many-tables shape (ShuffleMultipleRowStrategy)."""
+    import json as _json
+    import os
+
+    from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, repo_schema
+    from seatunnel_spark.sources.queue import read_changelog_stream
+    from seatunnel_spark.streaming.multi_table import MultiTableRouter
+
+    topic_dir = str(tmp_path / "topic")
+    os.makedirs(topic_dir)
+    lines = []
+    for i in range(60):
+        tbl = "alpha" if i % 2 == 0 else "beta"
+        row = {"repo": f"o/r{i % 5}", "path": f"p{i % 10}.py",
+               "commit": f"c{i}", "lang": "py", "content": f"v{i}"}
+        lines.append(_json.dumps({
+            "before": None, "after": row, "op": "c" if i < 20 else "u",
+            "ts_ms": 1000 + i, "source": {"table": tbl, "db": "d", "seq": i},
+        }))
+    with open(os.path.join(topic_dir, "part-00000.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    tables = {
+        name: LakeTable.create(str(tmp_path / name), REPO_FIELDS, REPO_KEY, num_buckets=2)
+        for name in ("alpha", "beta")
+    }
+    stream = read_changelog_stream(
+        spark, topic_dir, "debezium-json", repo_schema(), keep_table=True
+    )
+    router = MultiTableRouter(spark, tables)
+    router.run_stream(stream, str(tmp_path / "ckpt"), available_now=True, timeout_s=300)
+
+    # per-table final state: LWW by seq within each table's own slice
+    for name, parity in (("alpha", 0), ("beta", 1)):
+        got = {(r["repo"], r["path"]): r["content"]
+               for r in tables[name].scan(spark).collect()}
+        exp = {}
+        for i in range(parity, 60, 2):
+            exp[(f"o/r{i % 5}", f"p{i % 10}.py")] = f"v{i}"
+        assert got == exp, name

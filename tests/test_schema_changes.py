@@ -247,3 +247,31 @@ def test_complex_type_lattice_through_lake(spark, tmp_path):
     with pytest.raises(ValueError):
         t.update_schema(SchemaChange(kind="widen_type", name="price",
                                      type="decimal(10,2)"), "d3")
+
+
+def test_timestamp_stop_mode(spark, tmp_path):
+    """StopMode TIMESTAMP: bounded replay up to an event time equals the
+    oracle over the truncated log (the reference's binlog task
+    self-terminates past the stop offset)."""
+    paths = gen.write_fixture(
+        str(tmp_path / "fx"), 80, 300, seed=17, n_event_files=2, with_ddl=False
+    )
+    events = pd.read_parquet(paths["events"])
+    stop_ts = gen.EPOCH0 + pd.Timedelta(seconds=149)
+
+    LakeTable.create(str(tmp_path / "t"), REPO_FIELDS, REPO_KEY, num_buckets=4)
+    job = CdcIngestJob(spark, str(tmp_path / "t"), paths["events"],
+                       str(tmp_path / "c"), num_buckets=4)
+    assert job.resolve_stop_timestamp(stop_ts) == 149
+
+    empty_base = pd.DataFrame(columns=["repo", "path", "commit", "lang", "content"])
+    expected, _ = oracle.replay(empty_base, events[events["seq"] <= 149])
+    job.run_incremental(available_now=True, timeout_s=300, stop_ts=stop_ts)
+
+    got = LakeTable.load(str(tmp_path / "t")).scan(spark).toPandas()
+    got = got.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert len(got) == len(expected)
+    assert (got["content"].values == expected["content"].values).all()
+
+    with pytest.raises(ValueError):
+        job.run_incremental(stop_seq=1, stop_ts=stop_ts)
