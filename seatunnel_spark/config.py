@@ -1,0 +1,230 @@
+"""Config-driven job runner — the reference's ``seatunnel.sh --config
+job.conf`` entry point, re-expressed over this engine's connectors.
+
+Reference lifecycle (SURVEY §3): a job config has ``env`` / ``source`` /
+``transform`` / ``sink`` blocks; plugins are named (FakeSource, LocalFile,
+Jdbc, Sql, Assert, Console, ...) and chained through named tables via
+``result_table_name`` / ``source_table_name`` (seatunnel-core job parsing →
+plugin discovery via plugin-mapping.properties).
+
+Configs here are the JSON form — JSON is valid HOCON, and the container has
+no HOCON parser for the sugar (unquoted keys, substitutions, includes), so a
+reference ``.conf`` becomes this dict shape 1:1:
+
+    {
+      "env": {"job.mode": "BATCH"},
+      "source": [{"plugin": "FakeSource", "result_table_name": "fake",
+                  "row.num": 100,
+                  "schema": {"fields": {"id": "bigint", "name": "string"}}}],
+      "transform": [{"plugin": "Sql", "source_table_name": "fake",
+                     "result_table_name": "t1",
+                     "query": "SELECT id, UCASE(name) AS name FROM fake WHERE id > 5"}],
+      "sink": [{"plugin": "Assert", "source_table_name": "t1",
+                "rules": {"min_rows": 1}}]
+    }
+
+Every transform runs through the same operators the CDC engine uses; the
+``Sql`` transform is the real Zeta SQL string engine (parse → validate with
+the reference's rejections → scalar-function rewrite → Catalyst).
+
+Streaming job.mode (the CDC path) is driven through CdcIngestJob directly —
+this runner covers the BATCH EL(T) pipeline shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seatunnel_spark.functions.sql_engine import zeta_sql_transform
+from seatunnel_spark.operators import transforms as tr
+from seatunnel_spark.sinks.assert_sink import FieldRule, assert_sink
+from seatunnel_spark.sources.files import read_file_source, write_file_sink
+
+
+class ConfigError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------- FakeSource
+def fake_source(spark: SparkSession, opts: dict) -> DataFrame:
+    """Deterministic FakeSource (reference connector-fake
+    FakeDataGenerator.java): rows generated from the declared schema. The
+    reference draws random values; here every cell is a pure function of
+    (seed, row, field) so runs — and test assertions — are reproducible."""
+    n = int(opts.get("row.num", 10))
+    seed = str(opts.get("seed", 42))
+    fields = (opts.get("schema") or {}).get("fields") or {}
+    if not fields:
+        raise ConfigError("FakeSource needs schema.fields")
+    df = spark.range(n).withColumnRenamed("id", "_row")
+    cols = []
+    for name, typ in fields.items():
+        h = F.md5(F.concat(F.lit(f"{seed}|{name}|"), F.col("_row").cast("string")))
+        t = typ.strip().lower()
+        if t in ("int", "bigint", "smallint", "tinyint"):
+            c = F.conv(F.substring(h, 1, 6), 16, 10).cast(t)
+        elif t in ("double", "float"):
+            c = (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") / 1e3).cast(t)
+        elif t == "boolean":
+            c = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 2 == 0)
+        elif t == "timestamp":
+            c = F.timestamp_seconds(
+                F.lit(1735689600) + F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 31536000
+            )
+        else:  # string and anything else
+            c = F.concat(F.lit(f"{name}_"), F.substring(h, 1, 8))
+        cols.append(c.alias(name))
+    return df.select(*cols)
+
+
+# ------------------------------------------------------------- registries
+def _source_df(spark: SparkSession, block: dict) -> DataFrame:
+    plugin = block.get("plugin")
+    if plugin == "FakeSource":
+        return fake_source(spark, block)
+    if plugin == "LocalFile":
+        return read_file_source(
+            spark,
+            block.get("file_format_type", "parquet"),
+            block["path"],
+            options=block.get("options"),
+        )
+    if plugin == "Jdbc":
+        from seatunnel_spark.sources.jdbc import jdbc_partitioned_read
+
+        return jdbc_partitioned_read(
+            spark,
+            block["url"],
+            block["table"],
+            split_column=block.get("partition_column"),
+            num_partitions=int(block.get("partition_num", 8)),
+            numeric=bool(block.get("partition_column_numeric", True)),
+        )
+    raise ConfigError(f"unknown source plugin {plugin!r}")
+
+
+def _apply_transform(block: dict, df: DataFrame, src_name: str) -> DataFrame:
+    plugin = block.get("plugin")
+    if plugin == "Sql":
+        return zeta_sql_transform(df, block["query"], src_name)
+    if plugin == "Filter":
+        return tr.filter_fields(df, block["fields"])
+    if plugin == "FieldMapper":
+        return tr.field_mapper(df, block["field_mapper"])
+    if plugin == "Copy":
+        return tr.copy_fields(df, block["fields"])
+    if plugin == "Replace":
+        return tr.replace_field(
+            df, block["replace_field"], block["pattern"],
+            block.get("replacement", ""), bool(block.get("is_regex", False)),
+        )
+    if plugin == "Split":
+        return tr.split_field(
+            df, block["split_field"], block["separator"], block["output_fields"]
+        )
+    if plugin == "FilterRowKind":
+        return tr.filter_row_kind(
+            df, include=block.get("include_kinds"), exclude=block.get("exclude_kinds")
+        )
+    raise ConfigError(f"unknown transform plugin {plugin!r}")
+
+
+def _run_sink(block: dict, df: DataFrame) -> dict:
+    plugin = block.get("plugin")
+    if plugin == "Console":
+        rows = df.limit(int(block.get("limit", 20))).collect()
+        for r in rows:
+            print(r)
+        return {"rows_shown": len(rows)}
+    if plugin == "Assert":
+        rules = block.get("rules") or {}
+        field_rules = [
+            FieldRule(
+                field=fr["field"],
+                not_null=bool(fr.get("not_null", False)),
+                min_value=fr.get("min_value"),
+                max_value=fr.get("max_value"),
+                regex=fr.get("regex"),
+            )
+            for fr in rules.get("field_rules", [])
+        ]
+        return assert_sink(
+            df,
+            min_rows=rules.get("min_rows"),
+            max_rows=rules.get("max_rows"),
+            field_rules=field_rules,
+        )
+    if plugin == "LocalFile":
+        write_file_sink(
+            df,
+            block.get("file_format_type", "parquet"),
+            block["path"],
+            save_mode=block.get("save_mode", "error_if_exists"),
+            partition_by=block.get("partition_by"),
+        )
+        return {"written": True, "path": block["path"]}
+    if plugin == "Jdbc":
+        from seatunnel_spark.sinks.jdbc import jdbc_upsert_write
+
+        sql = jdbc_upsert_write(
+            df,
+            block["url"],
+            block["table"],
+            key=block["primary_keys"],
+            dialect=block.get("dialect", "ansi"),
+            staging_column_types=block.get("staging_column_types"),
+        )
+        return {"written": True, "upsert_sql": sql}
+    if plugin == "LakeTable":
+        from seatunnel_spark.lake.merge import merge_into
+        from seatunnel_spark.lake.table import LakeTable
+
+        key = block["primary_keys"]
+        fields = [(n, t) for n, t in df.dtypes if n not in ("op", "seq")]
+        table = LakeTable.create(
+            block["root"], fields, key,
+            num_buckets=int(block.get("num_buckets", 16)),
+            save_mode=block.get("save_mode", "keep"),
+        )
+        batch = df
+        if "op" not in batch.columns:
+            batch = batch.withColumn("op", F.lit("I"))
+        if "seq" not in batch.columns:
+            batch = batch.withColumn("seq", F.lit(0).cast("long"))
+        res = merge_into(
+            batch.sparkSession, table, batch, block.get("epoch_id", "config.0")
+        )
+        return {"written": True, "merge": {k: res.get(k) for k in ("batch_rows", "skipped")}}
+    raise ConfigError(f"unknown sink plugin {plugin!r}")
+
+
+def run_job(spark: SparkSession, config: dict) -> dict[str, dict]:
+    """Execute a BATCH job config: sources register named tables, transforms
+    chain through source/result table names, every sink consumes its named
+    input. Returns {sink descriptor: sink result}. A transform with no
+    ``source_table_name`` consumes the previous block's result, matching the
+    reference's implicit single-pipeline chaining."""
+    tables: dict[str, DataFrame] = {}
+    last: str | None = None
+    for block in config.get("source") or []:
+        name = block.get("result_table_name") or f"_src{len(tables)}"
+        tables[name] = _source_df(spark, block)
+        last = name
+    if not tables:
+        raise ConfigError("config has no source block")
+    for block in config.get("transform") or []:
+        src = block.get("source_table_name") or last
+        if src not in tables:
+            raise ConfigError(f"transform reads unknown table {src!r}")
+        out = _apply_transform(block, tables[src], src)
+        name = block.get("result_table_name") or f"_t{len(tables)}"
+        tables[name] = out
+        last = name
+    results: dict[str, dict] = {}
+    for i, block in enumerate(config.get("sink") or []):
+        src = block.get("source_table_name") or last
+        if src not in tables:
+            raise ConfigError(f"sink reads unknown table {src!r}")
+        results[f"{block.get('plugin')}#{i}"] = _run_sink(block, tables[src])
+    return results

@@ -1,0 +1,130 @@
+"""Config-driven job runner — the `seatunnel.sh --config job.conf` surface
+(JSON form; JSON is valid HOCON). Source → transform → sink pipelines chain
+through named tables exactly as the reference's job parser wires plugins."""
+
+import pytest
+
+from seatunnel_spark.config import ConfigError, run_job
+from seatunnel_spark.sinks.assert_sink import AssertError
+
+
+def test_fake_source_sql_assert_pipeline(spark):
+    """The reference's canonical smoke config: FakeSource → Sql → Assert."""
+    config = {
+        "env": {"job.mode": "BATCH"},
+        "source": [{
+            "plugin": "FakeSource", "result_table_name": "fake",
+            "row.num": 100,
+            "schema": {"fields": {"id": "bigint", "name": "string", "score": "double"}},
+        }],
+        "transform": [{
+            "plugin": "Sql", "source_table_name": "fake", "result_table_name": "t1",
+            "query": "SELECT id, UCASE(name) AS uname, score FROM fake WHERE id > 0",
+        }],
+        "sink": [{
+            "plugin": "Assert", "source_table_name": "t1",
+            "rules": {
+                "min_rows": 50,
+                "field_rules": [
+                    {"field": "uname", "not_null": True, "regex": "^NAME_[0-9A-F]+$"},
+                    {"field": "id", "min_value": 0},
+                ],
+            },
+        }],
+    }
+    res = run_job(spark, config)
+    assert res["Assert#0"]["_n"] >= 50
+    # deterministic: same config, same rows
+    assert run_job(spark, config)["Assert#0"] == res["Assert#0"]
+
+
+def test_file_roundtrip_with_transform_chain(spark, tmp_path):
+    """LocalFile source → Copy → Split → FieldMapper → LocalFile sink, then
+    read back and assert — the EL(T) file-pipeline shape."""
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a|x"), (2, "b|y"), (3, "c|z")], "id long, pair string"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    config = {
+        "source": [{"plugin": "LocalFile", "path": src,
+                    "file_format_type": "parquet", "result_table_name": "raw"}],
+        "transform": [
+            {"plugin": "Copy", "fields": {"pair": "pair_copy"}},
+            {"plugin": "Split", "split_field": "pair", "separator": "\\|",
+             "output_fields": ["left", "right"]},
+            {"plugin": "FieldMapper",
+             "field_mapper": {"id": "id", "left": "l", "right": "r"}},
+        ],
+        "sink": [{"plugin": "LocalFile", "path": out,
+                  "file_format_type": "parquet", "save_mode": "overwrite"}],
+    }
+    res = run_job(spark, config)
+    assert res["LocalFile#0"]["written"]
+    back = {r["id"]: (r["l"], r["r"]) for r in spark.read.parquet(out).collect()}
+    assert back == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}
+
+
+def test_jdbc_sink_pipeline(spark, tmp_path):
+    """FakeSource → Jdbc upsert sink on embedded Derby, then Jdbc source back."""
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    from seatunnel_spark.sources.jdbc import driver_connection
+
+    conn = driver_connection(spark, url)
+    conn.createStatement().execute(
+        'CREATE TABLE T ("id" BIGINT PRIMARY KEY, "name" VARCHAR(64))'
+    )
+    conn.close()
+    config = {
+        "source": [{"plugin": "FakeSource", "result_table_name": "fake",
+                    "row.num": 20,
+                    "schema": {"fields": {"id": "bigint", "name": "string"}}}],
+        "sink": [{"plugin": "Jdbc", "url": url, "table": "T",
+                  "primary_keys": ["id"],
+                  "staging_column_types": "name VARCHAR(64)"}],
+    }
+    res = run_job(spark, config)
+    assert "MERGE INTO T" in res["Jdbc#0"]["upsert_sql"]
+    back = run_job(spark, {
+        "source": [{"plugin": "Jdbc", "url": url, "table": "T",
+                    "partition_column": "id", "partition_num": 2,
+                    "result_table_name": "t"}],
+        "sink": [{"plugin": "Assert", "rules": {"min_rows": 1}}],
+    })
+    # FakeSource ids are md5-derived; collisions possible but count must match
+    # the distinct id count of the generated batch
+    from seatunnel_spark.config import fake_source
+    n_distinct = fake_source(spark, {"row.num": 20,
+        "schema": {"fields": {"id": "bigint", "name": "string"}}}) \
+        .select("id").distinct().count()
+    assert back["Assert#0"]["_n"] == n_distinct
+
+
+def test_lake_sink_and_errors(spark, tmp_path):
+    config = {
+        "source": [{"plugin": "FakeSource", "result_table_name": "fake",
+                    "row.num": 30,
+                    "schema": {"fields": {"k": "string", "v": "bigint"}}}],
+        "sink": [{"plugin": "LakeTable", "root": str(tmp_path / "lake"),
+                  "primary_keys": ["k"], "num_buckets": 4}],
+    }
+    res = run_job(spark, config)
+    assert res["LakeTable#0"]["written"]
+    from seatunnel_spark.lake import LakeTable
+    t = LakeTable.load(str(tmp_path / "lake"))
+    assert t.scan(spark).count() >= 1
+
+    with pytest.raises(ConfigError, match="unknown source plugin"):
+        run_job(spark, {"source": [{"plugin": "Nope"}]})
+    with pytest.raises(ConfigError, match="unknown table"):
+        run_job(spark, {
+            "source": [{"plugin": "FakeSource", "result_table_name": "a",
+                        "row.num": 1, "schema": {"fields": {"x": "int"}}}],
+            "sink": [{"plugin": "Console", "source_table_name": "missing"}],
+        })
+    with pytest.raises(AssertError):
+        run_job(spark, {
+            "source": [{"plugin": "FakeSource", "result_table_name": "a",
+                        "row.num": 1, "schema": {"fields": {"x": "int"}}}],
+            "sink": [{"plugin": "Assert", "rules": {"min_rows": 10}}],
+        })
