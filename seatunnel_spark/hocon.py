@@ -1,0 +1,203 @@
+"""Minimal HOCON reader for SeaTunnel job configs.
+
+The reference's ``.conf`` files are HOCON (typesafe-config). This implements
+the subset those job files actually use — nested braces, ``key = value`` /
+``key : value`` / ``key { ... }``, arrays, quoted + unquoted scalars,
+``#``/``//`` comments, duplicate-key object merge — so a reference config
+runs here verbatim via ``config.run_job(spark, load_job_config(text))``.
+
+Out of scope (documented container limits, raise cleanly): substitutions
+(``${...}``), includes, multiline strings. None appear in the reference's
+connector e2e configs.
+
+Reference shape (e.g. connector-cdc-mysql-e2e mysqlcdc_to_mysql.conf):
+
+    env { parallelism = 1  job.mode = "BATCH" }
+    source { FakeSource { result_table_name = "fake"  row.num = 16 } }
+    transform { Sql { query = "select * from fake" } }
+    sink { Assert { rules { ... } } }
+
+``load_job_config`` additionally normalizes the plugin-name-keyed blocks
+into the list-of-{plugin: ...} shape ``config.run_job`` executes.
+"""
+
+from __future__ import annotations
+
+
+class HoconError(ValueError):
+    pass
+
+
+def loads(text: str) -> dict:
+    p = _Parser(text)
+    out = p.parse_object(top_level=True)
+    p.skip_ws()
+    if not p.eof():
+        raise HoconError(f"trailing content at {p.i}: {p.s[p.i:p.i+30]!r}")
+    return out
+
+
+class _Parser:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def eof(self) -> bool:
+        return self.i >= len(self.s)
+
+    def peek(self) -> str:
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def skip_ws(self) -> None:
+        s = self.s
+        while self.i < len(s):
+            c = s[self.i]
+            if c in " \t\r\n,":
+                self.i += 1
+            elif c == "#" or s.startswith("//", self.i):
+                while self.i < len(s) and s[self.i] != "\n":
+                    self.i += 1
+            else:
+                return
+
+    def parse_object(self, top_level: bool = False) -> dict:
+        self.skip_ws()
+        if not top_level:
+            if self.peek() != "{":
+                raise HoconError(f"expected '{{' at {self.i}")
+            self.i += 1
+        out: dict = {}
+        while True:
+            self.skip_ws()
+            if self.eof():
+                if top_level:
+                    return out
+                raise HoconError("unterminated object")
+            if self.peek() == "}":
+                if top_level:
+                    raise HoconError(f"unmatched '}}' at {self.i}")
+                self.i += 1
+                return out
+            key = self.parse_key()
+            self.skip_ws()
+            c = self.peek()
+            if c == "{":
+                val = self.parse_object()
+            elif c in "=:":
+                self.i += 1
+                self.skip_ws()
+                val = self.parse_value()
+            else:
+                raise HoconError(f"expected '=', ':' or '{{' after key {key!r} at {self.i}")
+            if key in out and isinstance(out[key], dict) and isinstance(val, dict):
+                out[key] = {**out[key], **val}  # HOCON duplicate-key merge
+            else:
+                out[key] = val
+
+    def parse_key(self) -> str:
+        self.skip_ws()
+        if self.peek() == '"':
+            return self.parse_quoted()
+        j = self.i
+        while j < len(self.s) and self.s[j] not in " \t\r\n=:{}":
+            j += 1
+        if j == self.i:
+            raise HoconError(f"empty key at {self.i}")
+        key, self.i = self.s[self.i : j], j
+        return key
+
+    def parse_value(self):
+        c = self.peek()
+        if c == "{":
+            return self.parse_object()
+        if c == "[":
+            return self.parse_array()
+        if c == '"':
+            return self.parse_quoted()
+        if self.s.startswith("${", self.i):
+            raise HoconError("HOCON substitutions (${...}) are not supported")
+        # unquoted scalar: runs to end of line / comma / closing brace/bracket
+        j = self.i
+        while j < len(self.s) and self.s[j] not in ",\n#}]":
+            if self.s.startswith("//", j):
+                break
+            j += 1
+        raw, self.i = self.s[self.i : j].strip(), j
+        if raw == "":
+            raise HoconError(f"empty value at {self.i}")
+        return _coerce(raw)
+
+    def parse_array(self) -> list:
+        assert self.peek() == "["
+        self.i += 1
+        out = []
+        while True:
+            self.skip_ws()
+            if self.eof():
+                raise HoconError("unterminated array")
+            if self.peek() == "]":
+                self.i += 1
+                return out
+            out.append(self.parse_value())
+
+    def parse_quoted(self) -> str:
+        assert self.peek() == '"'
+        if self.s.startswith('"""', self.i):
+            raise HoconError("triple-quoted strings are not supported")
+        j = self.i + 1
+        buf = []
+        while j < len(self.s):
+            c = self.s[j]
+            if c == "\\" and j + 1 < len(self.s):
+                nxt = self.s[j + 1]
+                buf.append({"n": "\n", "t": "\t", '"': '"', "\\": "\\"}.get(nxt, "\\" + nxt))
+                j += 2
+                continue
+            if c == '"':
+                self.i = j + 1
+                return "".join(buf)
+            buf.append(c)
+            j += 1
+        raise HoconError("unterminated string")
+
+
+def _coerce(raw: str):
+    low = raw.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    if low == "null":
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    return raw
+
+
+# ------------------------------------------------- SeaTunnel job adapter
+def load_job_config(text: str) -> dict:
+    """Parse a SeaTunnel ``.conf`` and normalize to config.run_job's shape:
+    plugin-name-keyed blocks (``source { FakeSource { ... } }``) become
+    ``[{"plugin": "FakeSource", ...}]``; list-shaped blocks pass through."""
+    raw = loads(text)
+    out: dict = {"env": raw.get("env") or {}}
+    for section in ("source", "transform", "sink"):
+        block = raw.get(section)
+        if block is None:
+            out[section] = []
+        elif isinstance(block, list):
+            out[section] = block
+        elif isinstance(block, dict):
+            out[section] = [
+                {"plugin": name, **(opts if isinstance(opts, dict) else {})}
+                for name, opts in block.items()
+            ]
+        else:
+            raise HoconError(f"{section} block must be an object or array")
+    return out

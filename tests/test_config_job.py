@@ -128,3 +128,53 @@ def test_lake_sink_and_errors(spark, tmp_path):
                         "row.num": 1, "schema": {"fields": {"x": "int"}}}],
             "sink": [{"plugin": "Assert", "rules": {"min_rows": 10}}],
         })
+
+
+def test_hocon_conf_file_runs_verbatim(spark):
+    """A reference-syntax .conf (HOCON) parses and executes end-to-end —
+    the `seatunnel.sh --config job.conf` UX."""
+    from seatunnel_spark.hocon import load_job_config, loads
+
+    conf = '''
+    # canonical SeaTunnel smoke job
+    env {
+      parallelism = 2
+      job.mode = "BATCH"   // batch EL(T)
+    }
+    source {
+      FakeSource {
+        result_table_name = "fake"
+        row.num = 64
+        schema { fields { id = bigint, name = string } }
+      }
+    }
+    transform {
+      Sql {
+        source_table_name = "fake"
+        result_table_name = "t1"
+        query = "SELECT id, CONCAT(name, '!') AS shout FROM fake WHERE id >= 0"
+      }
+    }
+    sink {
+      Assert {
+        source_table_name = "t1"
+        rules {
+          min_rows = 64
+          field_rules = [ { field = "shout", not_null = true, regex = "^name_.*!$" } ]
+        }
+      }
+    }
+    '''
+    cfg = load_job_config(conf)
+    assert cfg["source"][0]["plugin"] == "FakeSource"
+    assert cfg["source"][0]["schema"]["fields"] == {"id": "bigint", "name": "string"}
+    res = run_job(spark, cfg)
+    assert res["Assert#0"]["_n"] == 64
+
+    # parser details: merge, arrays, comments, escapes, coercion
+    d = loads('a { x = 1 }\na { y = "two\\n" }\nb = [1, 2.5, true, null, bare]')
+    assert d["a"] == {"x": 1, "y": "two\n"}
+    assert d["b"] == [1, 2.5, True, None, "bare"]
+    from seatunnel_spark.hocon import HoconError
+    with pytest.raises(HoconError, match="substitutions"):
+        loads("a = ${ref}")
