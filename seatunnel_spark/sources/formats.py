@@ -68,6 +68,56 @@ def parse_debezium_json(
     return out.select("op", "_table", "ts_ms", "_seq", "_row.*")
 
 
+def mongo_envelope_schema(row_schema: T.StructType) -> T.StructType:
+    """MongoDB change-stream event shape (reference connector-cdc-mongodb;
+    the stream's own resume token orders events — exposed here as
+    ``source.seq`` parity via clusterTime)."""
+    return T.StructType(
+        [
+            T.StructField("operationType", T.StringType(), True),
+            T.StructField("fullDocument", row_schema, True),
+            T.StructField("documentKey", row_schema, True),
+            T.StructField(
+                "ns",
+                T.StructType(
+                    [
+                        T.StructField("db", T.StringType(), True),
+                        T.StructField("coll", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+            T.StructField("clusterTime", T.LongType(), True),
+        ]
+    )
+
+
+def parse_mongo_change_stream(
+    df: DataFrame, row_schema: T.StructType, value_col: str = "value"
+) -> DataFrame:
+    """Raw MongoDB change-stream JSON → (op, _table, ts_ms, _seq, <row>).
+    insert/replace → I, update → U (fullDocument post-image — the reference
+    requires fullDocument=updateLookup for exactly this), delete → D with
+    the documentKey image (deletes carry no fullDocument)."""
+    env = F.from_json(F.col(value_col), mongo_envelope_schema(row_schema))
+    op = (
+        F.when(env["operationType"].isin("insert", "replace"), "I")
+        .when(env["operationType"] == "update", "U")
+        .when(env["operationType"] == "delete", "D")
+    )
+    image = F.when(env["operationType"] == "delete", env["documentKey"]).otherwise(
+        env["fullDocument"]
+    )
+    out = df.select(
+        op.alias("op"),
+        env["ns"]["coll"].alias("_table"),
+        env["clusterTime"].alias("ts_ms"),
+        env["clusterTime"].alias("_seq"),
+        image.alias("_row"),
+    )
+    return out.select("op", "_table", "ts_ms", "_seq", "_row.*")
+
+
 def canal_envelope_schema(row_schema: T.StructType) -> T.StructType:
     return T.StructType(
         [

@@ -30,9 +30,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from seatunnel_spark.schema import event_schema
-from seatunnel_spark.sources.formats import parse_canal_json, parse_debezium_json
+from seatunnel_spark.sources.formats import (
+    parse_canal_json,
+    parse_debezium_json,
+    parse_mongo_change_stream,
+)
 
-WIRE_FORMATS = ("debezium-json", "canal-json")
+WIRE_FORMATS = ("debezium-json", "canal-json", "mongodb-json")
+
+_PARSERS = {
+    "debezium-json": parse_debezium_json,
+    "canal-json": parse_canal_json,
+    "mongodb-json": parse_mongo_change_stream,
+}
 
 
 def changelog_to_events(
@@ -86,8 +96,7 @@ def read_changelog_stream(
         spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
         .text(source_dir)
     )
-    parse = parse_debezium_json if wire_format == "debezium-json" else parse_canal_json
-    parsed = parse(raw, row_schema)
+    parsed = _PARSERS[wire_format](raw, row_schema)
     return changelog_to_events(
         parsed, [f.name for f in row_schema.fields], keep_table=keep_table
     )

@@ -441,6 +441,35 @@ class CdcIngestJob:
             emit_delay_ms=emit_delay_ms,
         )
 
+    # ------------------------------------------------------------ metrics views
+    def metrics_compat(self) -> DataFrame:
+        """The metrics table under the reference's metric NAMES
+        (MetricNames.java:28-32 + the CDC delay counters): one row per
+        metric per batch, (batch_id, phase, metric, value). In this engine
+        every received event is written exactly once per epoch, so
+        SourceReceivedCount == SinkWriteCount by construction — both are
+        emitted for dashboard parity."""
+        m = self.spark.read.parquet(self.metrics_dir)
+        pairs = [
+            ("SourceReceivedCount", F.col("events_applied").cast("double")),
+            ("SourceReceivedQPS", F.col("events_per_sec")),
+            ("SinkWriteCount", F.col("events_applied").cast("double")),
+            ("SinkWriteQPS", F.col("events_per_sec")),
+            ("CDCRecordFetchDelay", F.col("fetch_delay_ms").cast("double")),
+            ("CDCRecordEmitDelay", F.col("emit_delay_ms").cast("double")),
+        ]
+        stacked = F.explode(
+            F.array(*[
+                F.struct(F.lit(name).alias("metric"), expr.alias("value"))
+                for name, expr in pairs
+            ])
+        ).alias("kv")
+        return (
+            m.select("batch_id", "phase", stacked)
+            .select("batch_id", "phase", "kv.metric", "kv.value")
+            .where(F.col("value").isNotNull())
+        )
+
     # ------------------------------------------------------------ side tables
     def _write_lineage_snapshot(self, table: LakeTable, fences: dict[int, int]) -> None:
         n = len(fences)

@@ -245,3 +245,66 @@ def test_jdbc_dialect_sql_text():
     assert ansi.startswith("MERGE INTO t t USING t_stage s ON") and "WHEN NOT MATCHED" in ansi
     # key-only tables: no UPDATE clause in ANSI merge
     assert "WHEN MATCHED" not in DIALECTS["ansi"].upsert_from_staging("t", "s", ["id"], ["id"])
+
+
+def test_parse_mongo_change_stream(spark):
+    """MongoDB change-stream envelope (connector-cdc-mongodb wire format):
+    insert/replace → I, update → U (post-image), delete → D (documentKey)."""
+    from seatunnel_spark.sources.formats import parse_mongo_change_stream
+
+    msgs = [
+        json.dumps({"operationType": "insert", "fullDocument": {"id": 1, "name": "a"},
+                    "documentKey": {"id": 1}, "ns": {"db": "d", "coll": "t1"},
+                    "clusterTime": 100}),
+        json.dumps({"operationType": "update", "fullDocument": {"id": 1, "name": "b"},
+                    "documentKey": {"id": 1}, "ns": {"db": "d", "coll": "t1"},
+                    "clusterTime": 200}),
+        json.dumps({"operationType": "replace", "fullDocument": {"id": 2, "name": "z"},
+                    "documentKey": {"id": 2}, "ns": {"db": "d", "coll": "t2"},
+                    "clusterTime": 150}),
+        json.dumps({"operationType": "delete", "fullDocument": None,
+                    "documentKey": {"id": 1}, "ns": {"db": "d", "coll": "t1"},
+                    "clusterTime": 300}),
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    out = {r["_seq"]: r for r in parse_mongo_change_stream(df, ROW_SCHEMA).collect()}
+    assert out[100]["op"] == "I" and out[100]["name"] == "a"
+    assert out[200]["op"] == "U" and out[200]["name"] == "b"
+    assert out[150]["op"] == "I" and out[150]["_table"] == "t2"
+    assert out[300]["op"] == "D" and out[300]["id"] == 1 and out[300]["name"] is None
+
+
+def test_mongo_stream_to_lake(spark, tmp_path):
+    """mongodb-json through the same exactly-once job as debezium."""
+    import os
+
+    from seatunnel_spark.lake import LakeTable
+    from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, repo_schema
+    from seatunnel_spark.streaming.job import CdcIngestJob
+
+    topic = str(tmp_path / "topic")
+    os.makedirs(topic)
+    lines = []
+    for i in range(40):
+        doc = {"repo": "o/r1", "path": f"p{i % 8}.py", "commit": f"c{i}",
+               "lang": "py", "content": f"v{i}"}
+        lines.append(json.dumps({
+            "operationType": "insert" if i < 8 else "update",
+            "fullDocument": doc, "documentKey": {"repo": "o/r1", "path": doc["path"]},
+            "ns": {"db": "d", "coll": "repos"}, "clusterTime": i,
+        }))
+    with open(os.path.join(topic, "p0.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    root = str(tmp_path / "t")
+    LakeTable.create(root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    job = CdcIngestJob(spark, root, topic, str(tmp_path / "c"), num_buckets=2,
+                       wire_format="mongodb-json", wire_row_schema=repo_schema())
+    job.run_incremental(available_now=True, timeout_s=300)
+    got = {r["path"]: r["content"] for r in LakeTable.load(root).scan(spark).collect()}
+    assert got == {f"p{k}.py": f"v{32 + k}" for k in range(8)}
+
+    # reference metric-name view (MetricNames.java parity)
+    mv = job.metrics_compat()
+    names = {r["metric"] for r in mv.collect()}
+    assert {"SourceReceivedCount", "SourceReceivedQPS", "SinkWriteCount",
+            "SinkWriteQPS", "CDCRecordFetchDelay", "CDCRecordEmitDelay"} <= names
