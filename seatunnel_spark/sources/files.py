@@ -2,9 +2,9 @@
 
 Reference: connector-file-base sink/writer/{Text,Json,Orc,Parquet,Excel}
 WriteStrategy.java and the file source formats. Spark's DataSource framework
-subsumes all of them; this module is the explicit connector registry so the
-engine's source/sink surface is enumerable (and excel is stubbed — no POI
-in a Spark-native stack; write CSV and note it).
+subsumes text/json/csv/parquet/orc; excel is a pure-stdlib SpreadsheetML
+subset in sources/excel.py (no POI needed — xlsx is a zip of public-spec
+XML).
 
 All writers support the reference's save modes (DataSaveMode.java):
 error_if_exists / append / overwrite / ignore → Spark write modes.
@@ -15,8 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-READ_FORMATS = {"text", "json", "csv", "parquet", "orc"}
-WRITE_FORMATS = {"text", "json", "csv", "parquet", "orc"}
+READ_FORMATS = {"text", "json", "csv", "parquet", "orc", "excel"}
+WRITE_FORMATS = {"text", "json", "csv", "parquet", "orc", "excel"}
 SAVE_MODES = {"error_if_exists": "errorifexists", "append": "append",
               "overwrite": "overwrite", "ignore": "ignore"}
 
@@ -30,6 +30,10 @@ def read_file_source(
 ) -> DataFrame:
     if fmt not in READ_FORMATS:
         raise ValueError(f"unsupported source format {fmt!r} (have {sorted(READ_FORMATS)})")
+    if fmt == "excel":
+        from seatunnel_spark.sources.excel import read_excel_source
+
+        return read_excel_source(spark, path)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -47,7 +51,10 @@ def write_file_sink(
     options: dict | None = None,
 ) -> None:
     if fmt == "excel":
-        raise NotImplementedError("excel needs a POI-style library; write csv instead")
+        from seatunnel_spark.sources.excel import write_excel_sink
+
+        write_excel_sink(df, path)
+        return
     if fmt not in WRITE_FORMATS:
         raise ValueError(f"unsupported sink format {fmt!r} (have {sorted(WRITE_FORMATS)})")
     writer = df.write.mode(SAVE_MODES[save_mode])
