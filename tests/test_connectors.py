@@ -74,8 +74,8 @@ def test_file_roundtrip(spark, tmp_path):
             options={"header": "true"} if fmt == "csv" else {},
         )
         assert back.count() == 2
-    with pytest.raises(NotImplementedError):
-        write_file_sink(df, "excel", str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="unsupported"):
+        write_file_sink(df, "avro", str(tmp_path / "x"))
 
 
 def test_queue_changelog_stream_to_lake(spark, tmp_path):
