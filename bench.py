@@ -41,6 +41,8 @@ HEADLINE = [
     "text_token_count",
     "text_quality_score",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_pii_redact",
     "udf_sha256",
 ]
 

@@ -101,6 +101,20 @@ def _source_df(spark: SparkSession, block: dict) -> DataFrame:
             num_partitions=int(block.get("partition_num", 8)),
             numeric=bool(block.get("partition_column_numeric", True)),
         )
+    if plugin == "LakeTable":
+        from seatunnel_spark.lake.table import LakeTable
+
+        t = LakeTable.load(block["root"])
+        if block.get("changes_from") is not None:
+            return t.changes_between(
+                spark, int(block["changes_from"]),
+                int(block["changes_to"]) if block.get("changes_to") is not None else None,
+                include_meta=bool(block.get("include_meta", False)),
+            )
+        return t.scan(
+            spark,
+            snapshot_id=int(block["snapshot_id"]) if block.get("snapshot_id") is not None else None,
+        )
     raise ConfigError(f"unknown source plugin {plugin!r}")
 
 

@@ -178,3 +178,56 @@ def test_hocon_conf_file_runs_verbatim(spark):
     from seatunnel_spark.hocon import HoconError
     with pytest.raises(HoconError, match="substitutions"):
         loads("a = ${ref}")
+
+
+def test_lake_source_time_travel_and_changes(spark, tmp_path):
+    """LakeTable as a config SOURCE: current scan, VERSION AS OF, and the
+    incremental changes feed — the lake-to-anywhere pipeline shape."""
+    from seatunnel_spark.lake import LakeTable, merge_into
+    from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY
+
+    root = str(tmp_path / "lake")
+    t = LakeTable.create(root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    b1 = spark.createDataFrame(
+        [("o/r", "a.py", "c1", "py", "v1", "I", 0)],
+        "repo string, path string, commit string, lang string, content string, op string, seq long")
+    merge_into(spark, t, b1, "e1")
+    v1 = t.refresh().meta["current_snapshot_id"]
+    b2 = spark.createDataFrame(
+        [("o/r", "a.py", "c2", "py", "v2", "U", 1)],
+        "repo string, path string, commit string, lang string, content string, op string, seq long")
+    merge_into(spark, t, b2, "e2")
+
+    def rows(block):
+        return run_job(spark, {
+            "source": [{**block, "plugin": "LakeTable", "root": root,
+                        "result_table_name": "t"}],
+            "sink": [{"plugin": "Console", "limit": 100}],
+        })["Console#0"]["rows_shown"]
+
+    assert rows({}) == 1
+    assert rows({"snapshot_id": v1}) == 1
+    assert rows({"changes_from": v1}) == 1  # just the v2 update
+
+
+def test_cli_main_runs_conf_file(tmp_path, capsys):
+    """python -m seatunnel_spark --config job.conf end-to-end."""
+    import json as _json
+
+    from seatunnel_spark.__main__ import main
+
+    conf = tmp_path / "job.conf"
+    conf.write_text('''
+    env { job.mode = "BATCH" }
+    source {
+      FakeSource {
+        result_table_name = "fake"
+        row.num = 8
+        schema { fields { id = bigint } }
+      }
+    }
+    sink { Assert { rules { min_rows = 8 } } }
+    ''')
+    assert main(["--config", str(conf), "--master", "local[2]"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["Assert#0"]["_n"] == 8
