@@ -191,3 +191,88 @@ class SchemaChange:
 
     def to_json(self) -> str:
         return json.dumps(self._to_dict(), sort_keys=True)
+
+
+_ALTER_RE = None
+
+
+def parse_alter_sql(sql: str) -> SchemaChange:
+    """Raw ``ALTER TABLE`` DDL → SchemaChange — what a real binlog carries.
+
+    Reference: the CDC sources resolve captured DDL statements into typed
+    AlterTable*ColumnEvents (SchemaChangeResolver + the MySQL source's DDL
+    parsing). Supported statements (MySQL + ANSI spellings):
+
+        ALTER TABLE t ADD [COLUMN] name TYPE
+        ALTER TABLE t DROP [COLUMN] name
+        ALTER TABLE t RENAME COLUMN a TO b
+        ALTER TABLE t RENAME [TO|AS] new_name
+        ALTER TABLE t CHANGE [COLUMN] old new TYPE     (MySQL rename+type)
+        ALTER TABLE t MODIFY [COLUMN] name TYPE        (MySQL type change)
+
+    Multiple comma-separated clauses become one ``batch`` change (the
+    reference's AlterTableColumnsEvent). Types pass through lowercased for
+    the SqlType lattice (DECIMAL(p,s) etc. preserved)."""
+    import re
+
+    s = sql.strip().rstrip(";").strip()
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+(`?[\w.]+`?)\s+(.*)$", s)
+    if not m:
+        raise ValueError(f"not an ALTER TABLE statement: {sql!r}")
+    rest = m.group(2).strip()
+
+    def ident(tok: str) -> str:
+        return tok.strip().strip('`"')
+
+    def one(clause: str) -> SchemaChange:
+        c = clause.strip()
+        cm = re.match(r"(?is)^ADD\s+(?:COLUMN\s+)?(\S+)\s+(.+)$", c)
+        if cm:
+            return SchemaChange(kind="add_column", name=ident(cm.group(1)),
+                                type=cm.group(2).strip().lower())
+        cm = re.match(r"(?is)^DROP\s+(?:COLUMN\s+)?(\S+)$", c)
+        if cm:
+            return SchemaChange(kind="drop_column", name=ident(cm.group(1)))
+        cm = re.match(r"(?is)^RENAME\s+COLUMN\s+(\S+)\s+TO\s+(\S+)$", c)
+        if cm:
+            return SchemaChange(kind="rename_column", old_name=ident(cm.group(1)),
+                                name=ident(cm.group(2)))
+        cm = re.match(r"(?is)^RENAME\s+(?:TO\s+|AS\s+)?(\S+)$", c)
+        if cm:
+            return SchemaChange(kind="rename_table", name=ident(cm.group(1)))
+        cm = re.match(r"(?is)^CHANGE\s+(?:COLUMN\s+)?(\S+)\s+(\S+)\s+(.+)$", c)
+        if cm:
+            old, new, typ = ident(cm.group(1)), ident(cm.group(2)), cm.group(3).strip().lower()
+            if old == new:
+                return SchemaChange(kind="widen_type", name=new, type=typ)
+            # rename + type change: the reference emits both column events
+            return SchemaChange(kind="batch", changes=(
+                SchemaChange(kind="rename_column", old_name=old, name=new),
+                SchemaChange(kind="widen_type", name=new, type=typ),
+            ))
+        cm = re.match(r"(?is)^MODIFY\s+(?:COLUMN\s+)?(\S+)\s+(.+)$", c)
+        if cm:
+            return SchemaChange(kind="widen_type", name=ident(cm.group(1)),
+                                type=cm.group(2).strip().lower())
+        raise ValueError(f"unsupported ALTER clause: {clause!r}")
+
+    # split top-level commas (types like DECIMAL(10,2) contain commas inside parens)
+    clauses, depth, start = [], 0, 0
+    for i, ch in enumerate(rest):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            clauses.append(rest[start:i])
+            start = i + 1
+    clauses.append(rest[start:])
+    parsed = [one(c) for c in clauses if c.strip()]
+    if len(parsed) == 1:
+        return parsed[0]
+    flat: list[SchemaChange] = []
+    for p in parsed:
+        if p.kind == "rename_table":
+            raise ValueError("RENAME table cannot be batched with column clauses")
+        flat.extend(p.changes if p.kind == "batch" else (p,))
+    return SchemaChange(kind="batch", changes=tuple(flat))

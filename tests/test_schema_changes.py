@@ -275,3 +275,52 @@ def test_timestamp_stop_mode(spark, tmp_path):
 
     with pytest.raises(ValueError):
         job.run_incremental(stop_seq=1, stop_ts=stop_ts)
+
+
+def test_parse_alter_sql():
+    """Raw ALTER TABLE DDL → SchemaChange (the binlog DDL-resolve surface,
+    SchemaChangeResolver parity)."""
+    from seatunnel_spark.schema import parse_alter_sql
+
+    c = parse_alter_sql("ALTER TABLE repos ADD COLUMN stars INT;")
+    assert (c.kind, c.name, c.type) == ("add_column", "stars", "int")
+    c = parse_alter_sql("alter table db.repos add forks BIGINT")
+    assert (c.kind, c.name, c.type) == ("add_column", "forks", "bigint")
+    c = parse_alter_sql("ALTER TABLE t DROP COLUMN lang")
+    assert (c.kind, c.name) == ("drop_column", "lang")
+    c = parse_alter_sql("ALTER TABLE t RENAME COLUMN `commit` TO commit_sha")
+    assert (c.kind, c.old_name, c.name) == ("rename_column", "commit", "commit_sha")
+    c = parse_alter_sql("ALTER TABLE t RENAME TO repos_v2")
+    assert (c.kind, c.name) == ("rename_table", "repos_v2")
+    c = parse_alter_sql("ALTER TABLE t MODIFY COLUMN stars BIGINT")
+    assert (c.kind, c.name, c.type) == ("widen_type", "stars", "bigint")
+    # MySQL CHANGE = rename + type in one clause -> batch of two events
+    c = parse_alter_sql("ALTER TABLE t CHANGE `commit` commit_sha VARCHAR(64)")
+    assert c.kind == "batch" and c.changes[0].kind == "rename_column"
+    assert c.changes[1].type == "varchar(64)"
+    # comma-separated clauses -> one batch; DECIMAL comma survives
+    c = parse_alter_sql(
+        "ALTER TABLE t ADD price DECIMAL(10,2), ADD COLUMN n INT, DROP old_col"
+    )
+    assert c.kind == "batch" and len(c.changes) == 3
+    assert c.changes[0].type == "decimal(10,2)"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not an ALTER"):
+        parse_alter_sql("CREATE TABLE t (x int)")
+    with _pytest.raises(ValueError, match="unsupported ALTER clause"):
+        parse_alter_sql("ALTER TABLE t ENGINE=InnoDB")
+
+
+def test_parsed_alter_applies_to_lake(spark, table):
+    """The parsed DDL drives the same metadata commit path end-to-end."""
+    from seatunnel_spark.schema import parse_alter_sql
+
+    merge_into(spark, table, _batch_df(spark, ROWS1), "e1")
+    ch = parse_alter_sql(
+        "ALTER TABLE repos ADD stars INT, RENAME COLUMN commit TO commit_sha"
+    )
+    assert table.update_schema(ch, "d1")
+    names = [f["name"] for f in table.schema_fields()]
+    assert "stars" in names and "commit_sha" in names and "commit" not in names
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert got["a.py"]["commit_sha"] == "c1"
