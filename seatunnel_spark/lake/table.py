@@ -343,7 +343,20 @@ class LakeTable:
         (compaction / tombstone expiry) replace files without changing row
         state and are skipped, so a consumer never re-reads rows it already
         has. ``from_snapshot_id=None`` reads from the beginning of retained
-        history."""
+        history. A ``from`` older than retained history raises — resuming
+        across expired snapshots would silently re-emit or skip rows, the
+        same error Iceberg's incremental read raises."""
+        retained = {s["snapshot_id"] for s in self.meta["snapshots"]}
+        if (
+            from_snapshot_id is not None
+            and from_snapshot_id not in retained
+            and retained
+            and from_snapshot_id < min(retained)
+        ):
+            raise ValueError(
+                f"from_snapshot_id {from_snapshot_id} predates retained history "
+                f"(oldest retained: {min(retained)}); re-bootstrap with a full scan"
+            )
         cur = self.schema_fields()
         new_files: list[dict] = []
         for snap in self.meta["snapshots"]:
@@ -358,6 +371,14 @@ class LakeTable:
                 (s for s in self.meta["snapshots"] if s["snapshot_id"] == snap["parent_id"]),
                 None,
             )
+            if parent is None and snap["parent_id"] is not None:
+                # parent expired from history: its cumulative file list can't
+                # be diffed — treating every file as new would re-emit old
+                # rows. The window must start at a retained parent.
+                raise ValueError(
+                    f"snapshot {sid}'s parent {snap['parent_id']} is expired; "
+                    "incremental read window crosses pruned history"
+                )
             parent_paths = {
                 f["path"]
                 for files in (parent["bucket_files"].values() if parent else [])

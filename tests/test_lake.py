@@ -233,3 +233,29 @@ def test_changes_between_incremental_read(spark, table):
     assert table.changes_between(spark, v2).count() == 0
     # user view (include_meta=False) hides tombstones
     assert {r["path"] for r in table.changes_between(spark, v1, v2, include_meta=False).collect()} == {"a.py"}
+
+
+def test_changes_between_rejects_pruned_history(spark, table):
+    """Incremental reads must not cross expired snapshots: diffing against a
+    pruned parent would re-emit old rows (Iceberg raises here too)."""
+    import copy
+
+    merge_into(spark, table, _batch(spark, ROWS1), "e1")
+    merge_into(spark, table, _batch(
+        spark, [("o/r1", "a.py", "c9", "py", "v9", "U", 10)]), "e2")
+    merge_into(spark, table, _batch(
+        spark, [("o/r1", "b.py", "cA", "py", "vA", "U", 11)]), "e3")
+    # simulate expire_snapshots pruning the first snapshot
+    meta = copy.deepcopy(table.meta)
+    pruned_id = meta["snapshots"][0]["snapshot_id"]
+    meta["snapshots"] = meta["snapshots"][1:]
+    table._write_version(meta)
+
+    with pytest.raises(ValueError, match="predates retained history"):
+        table.changes_between(spark, pruned_id - 1)
+    with pytest.raises(ValueError, match="expired"):
+        table.changes_between(spark, None)  # window crosses the pruned parent
+    # a window fully inside retained history still works
+    ids = [s["snapshot_id"] for s in table.meta["snapshots"]]
+    ch = table.changes_between(spark, ids[0], ids[1]).collect()
+    assert {(r["path"], r["content"]) for r in ch} == {("b.py", "vA")}
