@@ -193,7 +193,13 @@ class SchemaChange:
         return json.dumps(self._to_dict(), sort_keys=True)
 
 
-_ALTER_RE = None
+def parse_change(payload: str) -> SchemaChange:
+    """DDL event payload → SchemaChange: the engine's JSON form, or a raw
+    ``ALTER TABLE`` statement (what canal/binlog streams carry)."""
+    p = payload.strip()
+    if p.startswith("{"):
+        return SchemaChange.from_json(p)
+    return parse_alter_sql(p)
 
 
 def parse_alter_sql(sql: str) -> SchemaChange:

@@ -126,6 +126,10 @@ def canal_envelope_schema(row_schema: T.StructType) -> T.StructType:
             T.StructField("type", T.StringType(), True),
             T.StructField("table", T.StringType(), True),
             T.StructField("ts", T.LongType(), True),
+            # canal marks DDL events with isDdl=true and carries the raw
+            # ALTER statement in `sql` — schema.parse_alter_sql resolves it
+            T.StructField("isDdl", T.BooleanType(), True),
+            T.StructField("sql", T.StringType(), True),
         ]
     )
 
@@ -133,10 +137,15 @@ def canal_envelope_schema(row_schema: T.StructType) -> T.StructType:
 def parse_canal_json(
     df: DataFrame, row_schema: T.StructType, value_col: str = "value"
 ) -> DataFrame:
-    """Raw canal JSON strings → one output row per element of `data`."""
+    """Raw canal JSON strings → one output row per element of `data`;
+    isDdl envelopes become op='DDL' rows whose ``_ddl`` carries the raw
+    ALTER statement (resolved later by schema.parse_alter_sql — DDL events
+    are rare and handled driver-side, so no Python touches the hot path)."""
     env = F.from_json(F.col(value_col), canal_envelope_schema(row_schema))
+    is_ddl = F.coalesce(env["isDdl"], F.lit(False))
     op = (
-        F.when(env["type"] == "INSERT", "I")
+        F.when(is_ddl, "DDL")
+        .when(env["type"] == "INSERT", "I")
         .when(env["type"] == "UPDATE", "U")
         .when(env["type"] == "DELETE", "D")
     )
@@ -145,6 +154,7 @@ def parse_canal_json(
         env["table"].alias("_table"),
         env["ts"].alias("ts_ms"),
         env["ts"].alias("_seq"),
-        F.explode(env["data"]).alias("_row"),
-    )
-    return out.select("op", "_table", "ts_ms", "_seq", "_row.*")
+        F.when(is_ddl, env["sql"]).alias("_ddl"),
+        F.explode_outer(env["data"]).alias("_row"),
+    ).where((F.col("op") == "DDL") | F.col("_row").isNotNull())
+    return out.select("op", "_table", "ts_ms", "_seq", "_ddl", "_row.*")

@@ -52,10 +52,16 @@ def changelog_to_events(
 
     ``seq`` comes from the parser's ``_seq`` (source offset, else ts_ms);
     ``txn_id`` mirrors seq (queue messages are their own transaction unless
-    the envelope batches — canal's `data` array explodes upstream); ``ddl``
-    and ``extra`` are null (queue DDL events ride dedicated topics in the
-    reference; schema changes through queues are future surface)."""
+    the envelope batches — canal's `data` array explodes upstream).
+
+    DDL + evolution: a parser that emits ``_ddl`` (canal's isDdl envelopes
+    carry the raw ALTER statement) passes it through as the event's ``ddl``
+    payload — the ingest job resolves it via schema.parse_change. Row fields
+    beyond the fixed event schema ride in the ``extra`` JSON map (the
+    superset-struct strategy), so post-DDL columns flow without changing the
+    stream's wire schema."""
     ev = event_schema()
+    fixed = {f.name for f in ev.fields}
     cols = [
         F.col("_seq").cast("long").alias("seq"),
         F.col("_seq").cast("long").alias("txn_id"),
@@ -68,8 +74,15 @@ def changelog_to_events(
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    cols.append(F.lit(None).cast("string").alias("ddl"))
-    cols.append(F.lit(None).cast("string").alias("extra"))
+    if "_ddl" in parsed.columns:
+        cols.append(F.col("_ddl").alias("ddl"))
+    else:
+        cols.append(F.lit(None).cast("string").alias("ddl"))
+    extra_fields = [n for n in row_fields if n not in fixed]
+    if extra_fields:
+        cols.append(F.to_json(F.struct(*extra_fields)).alias("extra"))
+    else:
+        cols.append(F.lit(None).cast("string").alias("extra"))
     cols.append(F.timestamp_millis(F.col("ts_ms")).alias("ts"))
     if keep_table:
         # multi-table streams: the envelope's source table id rides along so

@@ -46,7 +46,7 @@ from seatunnel_spark.operators.snapshot import (
     fence_map_expr,
     run_snapshot_phase,
 )
-from seatunnel_spark.schema import OP_DDL, SchemaChange, event_schema
+from seatunnel_spark.schema import OP_DDL, event_schema, parse_change
 
 _LINEAGE_ARROW_SCHEMA = None
 _METRICS_ARROW_SCHEMA = None
@@ -387,7 +387,7 @@ class CdcIngestJob:
             if i < len(ddls):
                 s, payload = ddls[i]
                 applied = table.update_schema(
-                    SchemaChange.from_json(payload), epoch_id=f"b{batch_id}.d{s}"
+                    parse_change(payload), epoch_id=f"b{batch_id}.d{s}"
                 )
                 any_applied = any_applied or applied
 

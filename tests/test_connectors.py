@@ -335,3 +335,58 @@ def test_excel_roundtrip(spark, tmp_path):
     import zipfile
     with zipfile.ZipFile(os.path.join(out, files[0])) as z:
         assert "xl/worksheets/sheet1.xml" in z.namelist()
+
+
+def test_canal_ddl_through_stream_evolves_schema(spark, tmp_path):
+    """Canal isDdl envelopes carry raw ALTER statements; the stream resolves
+    them (parse_alter_sql) into in-flight schema evolution, and post-DDL
+    column values ride the `extra` superset map — real binlog DDL semantics
+    end-to-end through the queue path."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from seatunnel_spark.lake import LakeTable
+    from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, repo_schema
+    from seatunnel_spark.streaming.job import CdcIngestJob
+
+    row_schema = T.StructType(
+        repo_schema().fields + [T.StructField("stars", T.IntegerType(), True)]
+    )
+    lines = []
+    for i in range(6):  # pre-DDL inserts, no stars anywhere
+        lines.append(json.dumps({
+            "data": [{"repo": "o/r", "path": f"p{i}.py", "commit": f"c{i}",
+                      "lang": "py", "content": f"v{i}", "stars": None}],
+            "old": None, "type": "INSERT", "table": "repos", "ts": i,
+        }))
+    lines.append(json.dumps({
+        "data": None, "old": None, "type": "ALTER", "table": "repos", "ts": 6,
+        "isDdl": True, "sql": "ALTER TABLE repos ADD COLUMN stars INT",
+    }))
+    for i in range(7, 10):  # post-DDL updates carrying stars
+        lines.append(json.dumps({
+            "data": [{"repo": "o/r", "path": f"p{i - 7}.py", "commit": f"c{i}",
+                      "lang": "py", "content": f"v{i}", "stars": i * 10}],
+            "old": None, "type": "UPDATE", "table": "repos", "ts": i,
+        }))
+    topic = str(tmp_path / "topic")
+    os.makedirs(topic)
+    with open(os.path.join(topic, "p0.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    root = str(tmp_path / "t")
+    LakeTable.create(root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    job = CdcIngestJob(spark, root, topic, str(tmp_path / "c"), num_buckets=2,
+                       wire_format="canal-json", wire_row_schema=row_schema)
+    job.run_incremental(available_now=True, timeout_s=300)
+
+    t = LakeTable.load(root)
+    names = [f["name"] for f in t.schema_fields()]
+    assert "stars" in names  # the ALTER landed as a metadata commit
+    got = {r["path"]: (r["content"], r["stars"]) for r in t.scan(spark).collect()}
+    assert got["p0.py"] == ("v7", 70)   # post-DDL update with stars
+    assert got["p1.py"] == ("v8", 80)
+    assert got["p2.py"] == ("v9", 90)
+    assert got["p3.py"] == ("v3", None)  # pre-DDL row, null-filled
+    assert len(got) == 6
