@@ -355,7 +355,13 @@ class CdcIngestJob:
             .collect()
         )
         ddls = sorted(
-            (d["seq"], d["ddl"]) for r in meta_rows for d in r["ddls"] if d is not None
+            (d["seq"], d["ddl"])
+            for r in meta_rows
+            for d in r["ddls"]
+            # a DDL row with a null payload is a malformed envelope — skip it
+            # rather than crash the stream (the reference's resolver likewise
+            # ignores DDL kinds it does not support)
+            if d is not None and d["ddl"] is not None
         )
 
         # --- DDL-offset sub-transactions (seq-bound predicates push down to
