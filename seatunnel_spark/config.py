@@ -59,11 +59,17 @@ def fake_source(spark: SparkSession, opts: dict) -> DataFrame:
         raise ConfigError("FakeSource needs schema.fields")
     df = spark.range(n).withColumnRenamed("id", "_row")
     cols = []
+    # value ranges per integral type — generated values must fit the cast
+    # (Spark 4's ANSI mode throws on overflow instead of nulling)
+    int_range = {"tinyint": 128, "smallint": 32768, "int": 1 << 31, "bigint": 1 << 62}
     for name, typ in fields.items():
         h = F.md5(F.concat(F.lit(f"{seed}|{name}|"), F.col("_row").cast("string")))
         t = typ.strip().lower()
-        if t in ("int", "bigint", "smallint", "tinyint"):
-            c = F.conv(F.substring(h, 1, 6), 16, 10).cast(t)
+        if t in int_range:
+            c = (
+                F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+                % F.lit(int_range[t])
+            ).cast(t)
         elif t in ("double", "float"):
             c = (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") / 1e3).cast(t)
         elif t == "boolean":
@@ -206,9 +212,13 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
             batch = batch.withColumn("op", F.lit("I"))
         if "seq" not in batch.columns:
             batch = batch.withColumn("seq", F.lit(0).cast("long"))
-        res = merge_into(
-            batch.sparkSession, table, batch, block.get("epoch_id", "config.0")
-        )
+        # idempotent replay is OPT-IN via an explicit epoch_id (e.g. a date
+        # partition tag); the default is a fresh epoch per run — a daily job
+        # with a constant epoch would silently skip every run after the first
+        import uuid as _uuid
+
+        epoch = block.get("epoch_id") or f"config.{_uuid.uuid4().hex[:12]}"
+        res = merge_into(batch.sparkSession, table, batch, epoch)
         return {"written": True, "merge": {k: res.get(k) for k in ("batch_rows", "skipped")}}
     raise ConfigError(f"unknown sink plugin {plugin!r}")
 

@@ -342,10 +342,13 @@ class LakeTable:
         Only data-changing commits contribute: layout-only rewrites
         (compaction / tombstone expiry) replace files without changing row
         state and are skipped, so a consumer never re-reads rows it already
-        has. ``from_snapshot_id=None`` reads from the beginning of retained
-        history. A ``from`` older than retained history raises — resuming
-        across expired snapshots would silently re-emit or skip rows, the
-        same error Iceberg's incremental read raises."""
+        has. ``from_snapshot_id=None`` reads from the table's first commit —
+        valid only while that commit is still retained (≤50 snapshots of
+        history); once history has been pruned, bootstrap with a full
+        ``scan()`` and resume incrementally from its snapshot id. Any window
+        that touches expired snapshots raises (diffing against a pruned
+        parent would re-emit rows) — the same error Iceberg's incremental
+        read raises."""
         retained = {s["snapshot_id"] for s in self.meta["snapshots"]}
         if (
             from_snapshot_id is not None

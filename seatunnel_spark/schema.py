@@ -87,10 +87,16 @@ LEGAL_WIDENINGS: set[tuple[str, str]] = {
 def is_legal_widening(old: str, new: str) -> bool:
     """The enumerable widenings plus the DECIMAL rule Iceberg enforces:
     precision may grow, scale must stay fixed — decimal(P,S) → decimal(P',S)
-    with P' >= P (values re-read exactly; a scale change would re-quantize)."""
+    with P' >= P (values re-read exactly; a scale change would re-quantize).
+    The identity change is always legal: MySQL CHANGE/MODIFY restate the
+    column type even when only renaming or touching nullability/comments,
+    and rejecting `int -> int` would kill the stream on the most common
+    rename pattern."""
     import re
 
     o, n = old.strip().lower(), new.strip().lower()
+    if o == n:
+        return True
     if (o, n) in LEGAL_WIDENINGS:
         return True
     mo, mn = re.match(_DECIMAL_RE_P, o), re.match(_DECIMAL_RE_P, n)
@@ -230,12 +236,27 @@ def parse_alter_sql(sql: str) -> SchemaChange:
     def ident(tok: str) -> str:
         return tok.strip().strip('`"')
 
+    def clean_type(t: str) -> str:
+        # strip the column attributes MySQL DDL appends after the type —
+        # NOT NULL / NULL / DEFAULT v / COMMENT '...' / AUTO_INCREMENT /
+        # FIRST / AFTER col — the lattice cares about the type alone
+        t = t.strip()
+        attr = re.compile(
+            r"(?is)\s+(NOT\s+NULL|NULL|DEFAULT\s+('[^']*'|\S+)|COMMENT\s+('[^']*'|\S+)"
+            r"|AUTO_INCREMENT|FIRST|AFTER\s+\S+)\s*$"
+        )
+        while True:
+            t2 = attr.sub("", t)
+            if t2 == t:
+                return t.lower()
+            t = t2
+
     def one(clause: str) -> SchemaChange:
         c = clause.strip()
         cm = re.match(r"(?is)^ADD\s+(?:COLUMN\s+)?(\S+)\s+(.+)$", c)
         if cm:
             return SchemaChange(kind="add_column", name=ident(cm.group(1)),
-                                type=cm.group(2).strip().lower())
+                                type=clean_type(cm.group(2)))
         cm = re.match(r"(?is)^DROP\s+(?:COLUMN\s+)?(\S+)$", c)
         if cm:
             return SchemaChange(kind="drop_column", name=ident(cm.group(1)))
@@ -248,7 +269,7 @@ def parse_alter_sql(sql: str) -> SchemaChange:
             return SchemaChange(kind="rename_table", name=ident(cm.group(1)))
         cm = re.match(r"(?is)^CHANGE\s+(?:COLUMN\s+)?(\S+)\s+(\S+)\s+(.+)$", c)
         if cm:
-            old, new, typ = ident(cm.group(1)), ident(cm.group(2)), cm.group(3).strip().lower()
+            old, new, typ = ident(cm.group(1)), ident(cm.group(2)), clean_type(cm.group(3))
             if old == new:
                 return SchemaChange(kind="widen_type", name=new, type=typ)
             # rename + type change: the reference emits both column events
@@ -259,7 +280,7 @@ def parse_alter_sql(sql: str) -> SchemaChange:
         cm = re.match(r"(?is)^MODIFY\s+(?:COLUMN\s+)?(\S+)\s+(.+)$", c)
         if cm:
             return SchemaChange(kind="widen_type", name=ident(cm.group(1)),
-                                type=cm.group(2).strip().lower())
+                                type=clean_type(cm.group(2)))
         raise ValueError(f"unsupported ALTER clause: {clause!r}")
 
     # split top-level commas (types like DECIMAL(10,2) contain commas inside parens)

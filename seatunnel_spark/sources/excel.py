@@ -150,26 +150,52 @@ def read_xlsx(path: str) -> tuple[list[str], list[list]]:
 
 
 # ------------------------------------------------------- Spark connectors
-def write_excel_sink(df: DataFrame, path: str) -> None:
-    """One .xlsx per Spark partition (executor-side, parallel) —
-    the reference's per-writer file layout."""
+def write_excel_sink(df: DataFrame, path: str, save_mode: str = "error_if_exists") -> None:
+    """One .xlsx per Spark partition (executor-side, parallel) — the
+    reference's per-writer file layout. Save modes match the other file
+    sinks (DataSaveMode.java): error_if_exists raises on existing output,
+    overwrite clears it first, ignore returns, append adds uniquely-named
+    files alongside the old ones."""
+    import uuid
+
+    existing = (
+        [f for f in os.listdir(path) if f.endswith(".xlsx")]
+        if os.path.isdir(path)
+        else []
+    )
+    if existing:
+        if save_mode == "error_if_exists":
+            raise FileExistsError(f"excel output already exists at {path}")
+        if save_mode == "ignore":
+            return
+        if save_mode == "overwrite":
+            for f in existing:
+                os.unlink(os.path.join(path, f))
     os.makedirs(path, exist_ok=True)
     header = list(df.columns)
+    run_id = uuid.uuid4().hex[:8]  # append-safe unique file names
 
     def write_partition(idx_rows):
         idx, rows = idx_rows
         rows = list(rows)
         if rows:
-            write_xlsx(os.path.join(path, f"part-{idx:05d}.xlsx"), header, rows)
+            write_xlsx(
+                os.path.join(path, f"part-{run_id}-{idx:05d}.xlsx"), header, rows
+            )
 
     df.rdd.mapPartitionsWithIndex(
         lambda i, it: [(i, [list(r) for r in it])]
     ).foreach(lambda p: write_partition(p))
 
 
-def read_excel_source(spark: SparkSession, path: str) -> DataFrame:
+def read_excel_source(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Read a directory of .xlsx (or one file) into a DataFrame. Parsing is
-    driver-side — the format caps itself at ~1M rows per sheet."""
+    driver-side — the format caps itself at ~1M rows per sheet.
+
+    ``schema``: xlsx carries no column types (every number is a double), so
+    without one, integer columns are restored heuristically (a column whose
+    values are all integral becomes long — data-dependent across batches).
+    Pass a StructType for stable types; values are cast to it."""
     files = (
         [path]
         if path.endswith(".xlsx")
@@ -186,9 +212,30 @@ def read_excel_source(spark: SparkSession, path: str) -> DataFrame:
         all_rows.extend(rows)
     if not header:
         raise ValueError(f"no .xlsx content under {path}")
-    # xlsx stores every number as an IEEE double; restore integer columns
-    # per COLUMN (a column where every non-null value is integral → int),
-    # matching how the reference's excel read strategy applies its schema
+    if schema is not None:
+        idx = {h: i for i, h in enumerate(header)}
+
+        def conv(v, dt):
+            if v is None:
+                return None
+            t = dt.simpleString()
+            if t in ("tinyint", "smallint", "int", "bigint"):
+                return int(float(v))
+            if t in ("float", "double"):
+                return float(v)
+            if t == "boolean":
+                return v if isinstance(v, bool) else str(v).lower() in ("true", "1")
+            return str(v)
+
+        rows = [
+            [conv(r[idx[f.name]], f.dataType) if f.name in idx else None
+             for f in schema.fields]
+            for r in all_rows
+        ]
+        return spark.createDataFrame(rows, schema)
+    # no schema: xlsx stores every number as an IEEE double; restore integer
+    # columns per COLUMN (all values integral → long). Data-dependent — pass
+    # a schema for stable types across batches.
     for c in range(len(header)):
         vals = [r[c] for r in all_rows if r[c] is not None]
         if vals and all(isinstance(v, float) and v.is_integer() for v in vals):

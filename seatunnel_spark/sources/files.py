@@ -33,7 +33,7 @@ def read_file_source(
     if fmt == "excel":
         from seatunnel_spark.sources.excel import read_excel_source
 
-        return read_excel_source(spark, path)
+        return read_excel_source(spark, path, schema=schema)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -53,7 +53,11 @@ def write_file_sink(
     if fmt == "excel":
         from seatunnel_spark.sources.excel import write_excel_sink
 
-        write_excel_sink(df, path)
+        if partition_by:
+            raise ValueError("excel sink does not support partition_by")
+        if save_mode not in SAVE_MODES:
+            raise ValueError(f"unknown save_mode {save_mode!r}")
+        write_excel_sink(df, path, save_mode=save_mode)
         return
     if fmt not in WRITE_FORMATS:
         raise ValueError(f"unsupported sink format {fmt!r} (have {sorted(WRITE_FORMATS)})")

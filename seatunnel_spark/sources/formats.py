@@ -69,9 +69,10 @@ def parse_debezium_json(
 
 
 def mongo_envelope_schema(row_schema: T.StructType) -> T.StructType:
-    """MongoDB change-stream event shape (reference connector-cdc-mongodb;
-    the stream's own resume token orders events — exposed here as
-    ``source.seq`` parity via clusterTime)."""
+    """MongoDB change-stream event shape (reference connector-cdc-mongodb).
+    ``clusterTime`` is a BSON Timestamp — extended JSON renders it as
+    ``{"$timestamp": {"t": <seconds>, "i": <ordinal>}}``; (t, i) is the
+    oplog's own total order within a second, so it is the ordering key."""
     return T.StructType(
         [
             T.StructField("operationType", T.StringType(), True),
@@ -87,7 +88,24 @@ def mongo_envelope_schema(row_schema: T.StructType) -> T.StructType:
                 ),
                 True,
             ),
-            T.StructField("clusterTime", T.LongType(), True),
+            T.StructField(
+                "clusterTime",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "$timestamp",
+                            T.StructType(
+                                [
+                                    T.StructField("t", T.LongType(), True),
+                                    T.StructField("i", T.LongType(), True),
+                                ]
+                            ),
+                            True,
+                        )
+                    ]
+                ),
+                True,
+            ),
         ]
     )
 
@@ -108,11 +126,16 @@ def parse_mongo_change_stream(
     image = F.when(env["operationType"] == "delete", env["documentKey"]).otherwise(
         env["fullDocument"]
     )
+    # BSON Timestamp: t is SECONDS, i disambiguates within the second —
+    # ts_ms = t*1000 for event time; _seq = t*10^6 + i preserves the oplog's
+    # total order (i is bounded well below 10^6 per second in practice)
+    t = env["clusterTime"]["$timestamp"]["t"]
+    i = F.coalesce(env["clusterTime"]["$timestamp"]["i"], F.lit(0))
     out = df.select(
         op.alias("op"),
         env["ns"]["coll"].alias("_table"),
-        env["clusterTime"].alias("ts_ms"),
-        env["clusterTime"].alias("_seq"),
+        (t * 1000).alias("ts_ms"),
+        (t * 1000000 + i).alias("_seq"),
         image.alias("_row"),
     )
     return out.select("op", "_table", "ts_ms", "_seq", "_row.*")

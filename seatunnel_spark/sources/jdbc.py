@@ -90,24 +90,37 @@ def sample_shard_predicates(
     num_partitions: int,
     sample_rows: int = 1000,
 ) -> list[str]:
-    """Sampling-based sharding for non-numeric split columns — the
+    """Equi-depth sharding for non-numeric split columns — the intent of the
     reference's efficientShardingThroughSampling
-    (AbstractJdbcSourceChunkSplitter.java:233-269): sample the column,
-    take every (n/num_partitions)-th sorted value as a boundary, emit
-    half-open range predicates (first/last unbounded so nothing between or
-    outside samples is lost)."""
-    vals = _query_column(
-        spark,
-        url,
-        f"SELECT {q(column)} FROM {table} WHERE {q(column)} IS NOT NULL "
-        f"ORDER BY {q(column)} FETCH FIRST {int(sample_rows)} ROWS ONLY",
+    (AbstractJdbcSourceChunkSplitter.java:233-269): shard boundaries spread
+    ACROSS the whole sorted key range so every reader gets ~equal rows.
+    Realized as one COUNT(*) plus (num_partitions - 1) exact quantile probes
+    ``ORDER BY col OFFSET k FETCH FIRST 1 ROW`` (ANSI, index-ranged on the
+    split column) — boundaries at the true 1/N row depths, no skew. Taking
+    the N smallest values as the 'sample' would put every boundary in the
+    bottom of the key space and hand one reader ~the whole table.
+    ``sample_rows`` is kept for API parity; exact probes subsume it."""
+    n_rows = int(
+        _query_one_row(
+            spark, url,
+            f"SELECT COUNT(*) FROM {table} WHERE {q(column)} IS NOT NULL",
+        )[0] or 0
     )
-    vals = sorted(set(str(v) for v in vals))
-    if len(vals) < 2 or num_partitions <= 1:
+    if n_rows < 2 or num_partitions <= 1:
         return ["1=1"]
-    n_bounds = min(num_partitions - 1, len(vals) - 1)
-    idx = [((i + 1) * len(vals)) // (n_bounds + 1) for i in range(n_bounds)]
-    bounds = sorted({vals[i] for i in idx if 0 < i < len(vals)})
+    bounds_set = set()
+    for i in range(1, num_partitions):
+        offset = (i * n_rows) // num_partitions
+        row = _query_one_row(
+            spark, url,
+            f"SELECT {q(column)} FROM {table} WHERE {q(column)} IS NOT NULL "
+            f"ORDER BY {q(column)} OFFSET {offset} ROWS FETCH FIRST 1 ROWS ONLY",
+        )
+        if row and row[0] is not None:
+            bounds_set.add(str(row[0]))
+    bounds = sorted(bounds_set)
+    if not bounds:
+        return ["1=1"]
 
     def lit(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"

@@ -371,6 +371,12 @@ class CdcIngestJob:
         seq_maxs = [r["seq_max"] for r in meta_rows if r["seq_max"] is not None]
         batch_lo = min(seq_mins) if seq_mins else None
         batch_hi = max(seq_maxs) if seq_maxs else None
+        # Segments are half-open intervals (prev_ddl_seq, next_ddl_seq]: a
+        # DML event with seq EQUAL to a DDL's seq applies before that DDL.
+        # The native log has unique seqs so equality never happens there;
+        # queue paths order by timestamp (canal ts / mongo clusterTime) where
+        # a row and an ALTER can share a tick — strict bounds on both sides
+        # would silently drop such rows from every segment.
         bounds = [None] + [s for s, _ in ddls] + [None]
         dml_base = batch.where(~is_ddl).where(fence_ok)
         any_applied = False  # epoch guard: replayed batches must not re-append
@@ -381,8 +387,8 @@ class CdcIngestJob:
                 seg = seg.where(F.col("seq") > bounds[i])
                 seg_lo = max(batch_lo, bounds[i] + 1) if batch_lo is not None else None
             if bounds[i + 1] is not None:
-                seg = seg.where(F.col("seq") < bounds[i + 1])
-                seg_hi = min(batch_hi, bounds[i + 1] - 1) if batch_hi is not None else None
+                seg = seg.where(F.col("seq") <= bounds[i + 1])
+                seg_hi = min(batch_hi, bounds[i + 1]) if batch_hi is not None else None
             res = merge_into(
                 self.spark, table, project_to_table_schema(table, seg),
                 epoch_id=f"b{batch_id}.s{i}",

@@ -255,19 +255,19 @@ def test_parse_mongo_change_stream(spark):
     msgs = [
         json.dumps({"operationType": "insert", "fullDocument": {"id": 1, "name": "a"},
                     "documentKey": {"id": 1}, "ns": {"db": "d", "coll": "t1"},
-                    "clusterTime": 100}),
+                    "clusterTime": {"$timestamp": {"t": 100, "i": 1}}}),
         json.dumps({"operationType": "update", "fullDocument": {"id": 1, "name": "b"},
                     "documentKey": {"id": 1}, "ns": {"db": "d", "coll": "t1"},
-                    "clusterTime": 200}),
+                    "clusterTime": {"$timestamp": {"t": 200, "i": 1}}}),
         json.dumps({"operationType": "replace", "fullDocument": {"id": 2, "name": "z"},
                     "documentKey": {"id": 2}, "ns": {"db": "d", "coll": "t2"},
-                    "clusterTime": 150}),
+                    "clusterTime": {"$timestamp": {"t": 150, "i": 1}}}),
         json.dumps({"operationType": "delete", "fullDocument": None,
                     "documentKey": {"id": 1}, "ns": {"db": "d", "coll": "t1"},
-                    "clusterTime": 300}),
+                    "clusterTime": {"$timestamp": {"t": 300, "i": 1}}}),
     ]
     df = spark.createDataFrame([(m,) for m in msgs], "value string")
-    out = {r["_seq"]: r for r in parse_mongo_change_stream(df, ROW_SCHEMA).collect()}
+    out = {r["_seq"] // 1000000: r for r in parse_mongo_change_stream(df, ROW_SCHEMA).collect()}
     assert out[100]["op"] == "I" and out[100]["name"] == "a"
     assert out[200]["op"] == "U" and out[200]["name"] == "b"
     assert out[150]["op"] == "I" and out[150]["_table"] == "t2"
@@ -291,7 +291,7 @@ def test_mongo_stream_to_lake(spark, tmp_path):
         lines.append(json.dumps({
             "operationType": "insert" if i < 8 else "update",
             "fullDocument": doc, "documentKey": {"repo": "o/r1", "path": doc["path"]},
-            "ns": {"db": "d", "coll": "repos"}, "clusterTime": i,
+            "ns": {"db": "d", "coll": "repos"}, "clusterTime": {"$timestamp": {"t": 1, "i": i}},
         }))
     with open(os.path.join(topic, "p0.txt"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
@@ -390,3 +390,29 @@ def test_canal_ddl_through_stream_evolves_schema(spark, tmp_path):
     assert got["p2.py"] == ("v9", 90)
     assert got["p3.py"] == ("v3", None)  # pre-DDL row, null-filled
     assert len(got) == 6
+
+
+def test_excel_save_modes_and_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from seatunnel_spark.sources.files import read_file_source, write_file_sink
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id long, amt double")
+    out = str(tmp_path / "xl")
+    write_file_sink(df, "excel", out)
+    with pytest.raises(FileExistsError):
+        write_file_sink(df, "excel", out)  # default error_if_exists
+    write_file_sink(df, "excel", out, save_mode="ignore")  # no-op
+    write_file_sink(df, "excel", out, save_mode="append")
+    assert read_file_source(spark, "excel", out).count() == 4
+    write_file_sink(df, "excel", out, save_mode="overwrite")
+    back = read_file_source(
+        spark, "excel", out,
+        schema=T.StructType([T.StructField("id", T.LongType()),
+                             T.StructField("amt", T.DoubleType())]),
+    )
+    # with an explicit schema, whole-number doubles stay doubles
+    assert dict(back.dtypes) == {"id": "bigint", "amt": "double"}
+    assert back.count() == 2
+    with pytest.raises(ValueError, match="partition_by"):
+        write_file_sink(df, "excel", str(tmp_path / "p"), partition_by=["id"])

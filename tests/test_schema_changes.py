@@ -324,3 +324,32 @@ def test_parsed_alter_applies_to_lake(spark, table):
     assert "stars" in names and "commit_sha" in names and "commit" not in names
     got = {r["path"]: r for r in table.scan(spark).collect()}
     assert got["a.py"]["commit_sha"] == "c1"
+
+
+def test_dml_at_ddl_seq_is_not_lost(spark, tmp_path):
+    """Timestamp-ordered queue sources can put a row and an ALTER on the
+    same tick: the row must land (in the pre-DDL segment), never be dropped
+    by strict segment bounds."""
+    root = str(tmp_path / "t")
+    LakeTable.create(root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    ddl = SchemaChange(kind="add_column", name="stars", type="int").to_json()
+    rows = [
+        (1, 0, "I", "o/r", "a.py", "c0", "py", "v0", None, None),
+        (5, 0, "U", "o/r", "a.py", "c1", "py", "v1", None, None),  # seq == DDL seq
+        (5, 0, "DDL", None, None, None, None, None, ddl, None),
+        (9, 1, "I", "o/r", "b.py", "c2", "py", "v2", None,
+         json.dumps({"stars": "3"})),
+    ]
+    ev = pd.DataFrame(rows, columns=["seq", "txn_id", "op", "repo", "path",
+                                     "commit", "lang", "content", "ddl", "extra"])
+    ev["ts"] = pd.Timestamp(gen.EPOCH0) + pd.to_timedelta(ev["seq"], unit="s")
+    events_dir = str(tmp_path / "ev")
+    import os
+    os.makedirs(events_dir)
+    spark.createDataFrame(ev, event_schema()).coalesce(1).write.parquet(
+        events_dir, mode="overwrite")
+    job = CdcIngestJob(spark, root, events_dir, str(tmp_path / "c"), num_buckets=2)
+    job.run_incremental(available_now=True, timeout_s=300)
+    got = {r["path"]: r for r in LakeTable.load(root).scan(spark).collect()}
+    assert got["a.py"]["content"] == "v1"  # the equal-seq update applied
+    assert got["b.py"]["stars"] == 3       # post-DDL column landed
