@@ -122,7 +122,20 @@ class _Parser:
             if self.s.startswith("//", j):
                 break
             j += 1
-        raw, self.i = self.s[self.i : j].strip(), j
+        raw = self.s[self.i : j]
+        # Two pairs on one line (`parallelism = 1  job.mode = "BATCH"`) must
+        # not silently merge into one scalar: terminate the scalar at
+        # whitespace followed by another `key =` / `key :` token and rewind
+        # so the next pair parses normally. The key lookahead excludes ':'
+        # so URL-ish values (`jdbc:derby:...`) — where ':' is inside the
+        # first token, never after whitespace — stay whole.
+        import re
+
+        nxt = re.search(r'\s+([^\s=:{}\[\],#"]+)\s*[=:]', raw)
+        if nxt:
+            j = self.i + nxt.start()
+            raw = raw[: nxt.start()]
+        raw, self.i = raw.strip(), j
         if raw == "":
             raise HoconError(f"empty value at {self.i}")
         return _coerce(raw)

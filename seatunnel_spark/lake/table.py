@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from seatunnel_spark.schema import SchemaChange, is_legal_widening
+from seatunnel_spark.schema import SchemaChange, is_legal_widening, normalize_sql_type
 
 _VERSION_RE = re.compile(r"^v(\d+)\.json$")
 
@@ -536,7 +536,7 @@ class LakeTable:
                     raise _NoopDDL()
                 cid = meta["next_column_id"]
                 meta["next_column_id"] += 1
-                fields.append({"id": cid, "name": ch.name, "type": ch.type})
+                fields.append({"id": cid, "name": ch.name, "type": normalize_sql_type(ch.type)})
                 meta["wire_bindings"][ch.name] = cid
             elif ch.kind == "rename_column":
                 f = next(f for f in fields if f["name"] == ch.old_name)
@@ -545,7 +545,9 @@ class LakeTable:
                 f = next(f for f in fields if f["name"] == ch.name)
                 if not is_legal_widening(f["type"], ch.type):
                     raise ValueError(f"illegal widening {f['type']} -> {ch.type}")
-                f["type"] = ch.type
+                # store the lattice spelling so later comparisons and the
+                # Spark type mapping never see raw MySQL spellings
+                f["type"] = normalize_sql_type(ch.type)
             elif ch.kind == "drop_column":
                 fields = [f for f in fields if f["name"] != ch.name]
             else:

@@ -71,6 +71,70 @@ def sqltype_to_spark(name: str) -> T.DataType:
 
 _DECIMAL_RE_P = r"^decimal\((\d+),\s*(\d+)\)$"
 
+# SQL-dialect spellings → the lattice names above. Lake schemas store lattice
+# names ('string', 'int', ...) while raw binlog DDL carries MySQL/ANSI
+# spellings ('varchar(255)', 'integer', 'double precision'); comparisons and
+# storage must speak one vocabulary or the common MySQL rename idiom
+# `CHANGE old new VARCHAR(n)` (which restates the type) kills the stream.
+_TYPE_ALIASES = {
+    "integer": "int",
+    "int4": "int",
+    "mediumint": "int",
+    "serial": "int",
+    "int8": "bigint",
+    "long": "bigint",
+    "bigserial": "bigint",
+    "int2": "smallint",
+    "int1": "tinyint",
+    "bool": "boolean",
+    "real": "float",
+    "float4": "float",
+    "float8": "double",
+    "double precision": "double",
+    "datetime": "timestamp",
+    "timestamptz": "timestamp",
+    "numeric": "decimal",
+}
+_CHAR_FAMILY = ("varchar", "character varying", "nvarchar", "character", "nchar", "char")
+_TEXT_FAMILY = {"text", "tinytext", "mediumtext", "longtext", "clob", "json", "string"}
+_BINARY_FAMILY = ("varbinary", "binary", "blob", "tinyblob", "mediumblob", "longblob")
+
+
+def normalize_sql_type(t: str, keep_length: bool = False) -> str:
+    """Normalize a SQL type spelling to the lattice vocabulary.
+
+    ``varchar(255)``/``char(10)``/``text`` → ``string`` (or ``varchar(n)``
+    when ``keep_length`` — used only by the widening comparison so length
+    growth can be recognized), ``integer`` → ``int``, ``numeric(p,s)`` →
+    ``decimal(p,s)``, ``datetime(3)`` → ``timestamp``, blob family →
+    ``bytes``. Unknown spellings pass through lowercased (the Spark DDL
+    parser in sqltype_to_spark is the final arbiter)."""
+    import re
+
+    s = re.sub(r"\s+", " ", t.strip().lower())
+    # MySQL display-width / sign attributes carry no type information
+    s = re.sub(r"\s+(unsigned|signed|zerofill)\b", "", s)
+    s = re.sub(r"^(tinyint|smallint|mediumint|int|integer|bigint)\(\d+\)", r"\1", s)
+    for fam in _CHAR_FAMILY:
+        m = re.match(rf"^{fam}\s*(\((\d+)\))?$", s)
+        if m:
+            return f"varchar({m.group(2)})" if (keep_length and m.group(2)) else "string"
+    if s in _TEXT_FAMILY or s.startswith("enum(") or s.startswith("set("):
+        return "string"
+    for fam in _BINARY_FAMILY:
+        if re.match(rf"^{fam}(\(\d+\))?$", s):
+            return "bytes"
+    m = re.match(r"^(timestamp|datetime|time)(\(\d+\))?( with(out)? time zone)?$", s)
+    if m:
+        return "string" if m.group(1) == "time" else "timestamp"
+    m = re.match(r"^(numeric|decimal|dec)\s*\((\d+)\s*,\s*(\d+)\)$", s)
+    if m:
+        return f"decimal({m.group(2)},{m.group(3)})"
+    m = re.match(r"^(numeric|decimal|dec)\s*\((\d+)\)$", s)
+    if m:
+        return f"decimal({m.group(2)},0)"
+    return _TYPE_ALIASES.get(s, s)
+
 # Type-widening lattice used by widen_type DDL (only widenings that parquet
 # readers can satisfy with a cast are legal — same rule Iceberg enforces).
 LEGAL_WIDENINGS: set[tuple[str, str]] = {
@@ -91,12 +155,27 @@ def is_legal_widening(old: str, new: str) -> bool:
     The identity change is always legal: MySQL CHANGE/MODIFY restate the
     column type even when only renaming or touching nullability/comments,
     and rejecting `int -> int` would kill the stream on the most common
-    rename pattern."""
+    rename pattern.
+
+    Both sides are normalized first (varchar/text → string, integer → int,
+    numeric → decimal, ...) so a lake schema storing lattice names compares
+    correctly against raw-DDL MySQL spellings. String-family rules: varchar
+    length growth is a legal widening; varchar ↔ string in either direction
+    is the identity change (the lake never tracks lengths, so a restated
+    ``VARCHAR(n)`` over a stored ``string`` is the rename idiom, not a
+    narrowing)."""
     import re
 
-    o, n = old.strip().lower(), new.strip().lower()
+    o = normalize_sql_type(old, keep_length=True)
+    n = normalize_sql_type(new, keep_length=True)
     if o == n:
         return True
+    vo = re.match(r"^varchar\((\d+)\)$", o)
+    vn = re.match(r"^varchar\((\d+)\)$", n)
+    if vo and vn:
+        return int(vn.group(1)) >= int(vo.group(1))
+    if (vo or o == "string") and (vn or n == "string"):
+        return True  # varchar(n) ↔ string: identity under the length-free lake
     if (o, n) in LEGAL_WIDENINGS:
         return True
     mo, mn = re.match(_DECIMAL_RE_P, o), re.match(_DECIMAL_RE_P, n)

@@ -64,12 +64,13 @@ class MySqlDialect(AnsiMergeDialect):
         qc = self.q
         ins_cols = ", ".join(qc(c) for c in cols)
         non_key = [c for c in cols if c not in key]
-        sets = ", ".join(f"{qc(c)} = new.{qc(c)}" for c in non_key) or ", ".join(
-            f"{qc(k)} = new.{qc(k)}" for k in key
+        # alias must not be NEW — reserved in MySQL 8 (trigger row alias)
+        sets = ", ".join(f"{qc(c)} = src.{qc(c)}" for c in non_key) or ", ".join(
+            f"{qc(k)} = src.{qc(k)}" for k in key
         )
         return (
             f"INSERT INTO {target} ({ins_cols}) "
-            f"SELECT {ins_cols} FROM {staging} AS new "
+            f"SELECT {ins_cols} FROM {staging} AS src "
             f"ON DUPLICATE KEY UPDATE {sets}"
         )
 

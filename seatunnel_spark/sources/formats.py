@@ -149,6 +149,9 @@ def canal_envelope_schema(row_schema: T.StructType) -> T.StructType:
             T.StructField("type", T.StringType(), True),
             T.StructField("table", T.StringType(), True),
             T.StructField("ts", T.LongType(), True),
+            # canal's monotonic batch id — disambiguates envelopes that share
+            # a millisecond tick so _seq stays a total order
+            T.StructField("id", T.LongType(), True),
             # canal marks DDL events with isDdl=true and carries the raw
             # ALTER statement in `sql` — schema.parse_alter_sql resolves it
             T.StructField("isDdl", T.BooleanType(), True),
@@ -172,12 +175,31 @@ def parse_canal_json(
         .when(env["type"] == "UPDATE", "U")
         .when(env["type"] == "DELETE", "D")
     )
+    # _seq must be a total order: the reference applies canal records in
+    # arrival order, but `ts` alone ties for same-key updates inside one
+    # millisecond, making lww_reduce's hash tie-break pick nondeterministically.
+    # Fold arrival order into the low bits (the mongo parser's clusterTime.i
+    # trick): ts gets 22 low bits — 12 for the batch id (canal's monotonic
+    # envelope counter) and 10 for the row's index in `data`. Wrap-around
+    # needs >4096 envelopes or >1024 rows-per-envelope inside a single
+    # millisecond to produce a tie — beyond any real canal deployment.
     out = df.select(
         op.alias("op"),
         env["table"].alias("_table"),
         env["ts"].alias("ts_ms"),
-        env["ts"].alias("_seq"),
+        (
+            F.shiftleft(env["ts"], 22)
+            + F.shiftleft(F.coalesce(env["id"], F.lit(0)) % 4096, 10)
+        ).alias("_seq0"),
         F.when(is_ddl, env["sql"]).alias("_ddl"),
-        F.explode_outer(env["data"]).alias("_row"),
+        F.posexplode_outer(env["data"]).alias("_idx", "_row"),
     ).where((F.col("op") == "DDL") | F.col("_row").isNotNull())
-    return out.select("op", "_table", "ts_ms", "_seq", "_ddl", "_row.*")
+    out = out.select(
+        "op",
+        "_table",
+        "ts_ms",
+        (F.col("_seq0") + F.coalesce(F.col("_idx"), F.lit(0)) % 1024).alias("_seq"),
+        "_ddl",
+        "_row.*",
+    )
+    return out

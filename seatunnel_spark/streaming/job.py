@@ -398,8 +398,13 @@ class CdcIngestJob:
             any_applied = any_applied or not res.get("skipped")
             if i < len(ddls):
                 s, payload = ddls[i]
+                # epoch id carries the segment index too: on the queue paths
+                # seq is timestamp-derived, so two DDLs can share a seq — a
+                # seq-only id would treat the second as already applied.
+                # ddls is deterministically sorted by (seq, payload) so the
+                # index is stable across replays.
                 applied = table.update_schema(
-                    parse_change(payload), epoch_id=f"b{batch_id}.d{s}"
+                    parse_change(payload), epoch_id=f"b{batch_id}.d{s}.{i}"
                 )
                 any_applied = any_applied or applied
 

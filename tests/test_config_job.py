@@ -231,3 +231,21 @@ def test_cli_main_runs_conf_file(tmp_path, capsys):
     assert main(["--config", str(conf), "--master", "local[2]"]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["Assert#0"]["_n"] == 8
+
+
+def test_hocon_two_pairs_on_one_line():
+    """ADVICE r2: an unquoted scalar must terminate at the next `key =`
+    token instead of silently swallowing it into the value."""
+    from seatunnel_spark.hocon import loads
+
+    cfg = loads('env { parallelism = 1  job.mode = "BATCH" }')
+    assert cfg["env"]["parallelism"] == 1
+    assert cfg["env"]["job.mode"] == "BATCH"
+    # URL-ish values keep their colons — ':' inside the first token is a
+    # value, not a key separator
+    cfg = loads("sink { url = jdbc:derby:memory:db \n mode = append }")
+    assert cfg["sink"]["url"] == "jdbc:derby:memory:db"
+    assert cfg["sink"]["mode"] == "append"
+    # three pairs on one line
+    cfg = loads("a = 1 b = two c = 3")
+    assert cfg == {"a": 1, "b": "two", "c": 3}

@@ -238,7 +238,8 @@ def test_jdbc_dialect_sql_text():
 
     cols, key = ["id", "name", "v"], ["id"]
     my = DIALECTS["mysql"].upsert_from_staging("t", "t_stage", cols, key)
-    assert "ON DUPLICATE KEY UPDATE" in my and "`name` = new.`name`" in my
+    assert "ON DUPLICATE KEY UPDATE" in my and "`name` = src.`name`" in my
+    assert " new" not in my.lower()  # NEW is reserved in MySQL 8
     pg = DIALECTS["postgres"].upsert_from_staging("t", "t_stage", cols, key)
     assert 'ON CONFLICT ("id")' in pg and 'DO UPDATE SET "name" = EXCLUDED."name"' in pg
     ansi = DIALECTS["ansi"].upsert_from_staging("t", "t_stage", cols, key)
@@ -416,3 +417,69 @@ def test_excel_save_modes_and_schema(spark, tmp_path):
     assert back.count() == 2
     with pytest.raises(ValueError, match="partition_by"):
         write_file_sink(df, "excel", str(tmp_path / "p"), partition_by=["id"])
+
+
+def test_canal_seq_total_order_within_one_millisecond(spark):
+    """ADVICE r2: canal `ts` is millisecond-grained, so same-key updates in
+    one tick tied on _seq and LWW picked nondeterministically. _seq now folds
+    the batch id and the row's index in `data` into the low bits — arrival
+    order IS the order, matching how the reference applies canal records."""
+    msgs = [
+        # two envelopes in the same millisecond: batch ids order them
+        json.dumps({"data": [{"id": 1, "name": "first"}], "old": None,
+                    "type": "UPDATE", "table": "t", "ts": 42, "id": 7}),
+        json.dumps({"data": [{"id": 1, "name": "second"}], "old": None,
+                    "type": "UPDATE", "table": "t", "ts": 42, "id": 8}),
+        # one envelope, two rows for the same key: array order wins
+        json.dumps({"data": [{"id": 2, "name": "older"}, {"id": 2, "name": "newer"}],
+                    "old": None, "type": "UPDATE", "table": "t", "ts": 42, "id": 9}),
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    out = parse_canal_json(df, ROW_SCHEMA).collect()
+    seqs = {(r["id"], r["name"]): r["_seq"] for r in out}
+    assert seqs[(1, "first")] < seqs[(1, "second")]
+    assert seqs[(2, "older")] < seqs[(2, "newer")]
+    assert len({r["_seq"] for r in out}) == 4  # total order, no ties
+    # and every _seq still sorts after any earlier millisecond
+    earlier = json.dumps({"data": [{"id": 3, "name": "x"}], "old": None,
+                          "type": "INSERT", "table": "t", "ts": 41, "id": 99999})
+    prev = parse_canal_json(
+        spark.createDataFrame([(earlier,)], "value string"), ROW_SCHEMA
+    ).collect()[0]["_seq"]
+    assert prev < min(seqs.values())
+
+
+def test_canal_two_ddls_same_tick_both_apply(spark, tmp_path):
+    """ADVICE r2: DDL epoch ids were `b{batch}.d{seq}` — two ALTERs sharing a
+    timestamp-derived seq collided and the second was silently dropped as an
+    already-applied epoch. The id now carries the segment index."""
+    import os
+
+    from seatunnel_spark.lake import LakeTable
+    from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, repo_schema
+    from seatunnel_spark.streaming.job import CdcIngestJob
+
+    row_schema = repo_schema()
+    lines = [
+        json.dumps({"data": [{"repo": "o/r", "path": "p.py", "commit": "c0",
+                              "lang": "py", "content": "v0"}],
+                    "old": None, "type": "INSERT", "table": "repos", "ts": 1}),
+        # two DDLs in the same millisecond with NO batch id → identical _seq
+        json.dumps({"data": None, "old": None, "type": "ALTER", "table": "repos",
+                    "ts": 5, "isDdl": True,
+                    "sql": "ALTER TABLE repos ADD COLUMN stars INT"}),
+        json.dumps({"data": None, "old": None, "type": "ALTER", "table": "repos",
+                    "ts": 5, "isDdl": True,
+                    "sql": "ALTER TABLE repos ADD COLUMN forks INT"}),
+    ]
+    topic = str(tmp_path / "topic")
+    os.makedirs(topic)
+    with open(os.path.join(topic, "p0.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    root = str(tmp_path / "t")
+    LakeTable.create(root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    job = CdcIngestJob(spark, root, topic, str(tmp_path / "c"), num_buckets=2,
+                       wire_format="canal-json", wire_row_schema=row_schema)
+    job.run_incremental(available_now=True, timeout_s=300)
+    names = [f["name"] for f in LakeTable.load(root).schema_fields()]
+    assert "stars" in names and "forks" in names

@@ -353,3 +353,49 @@ def test_dml_at_ddl_seq_is_not_lost(spark, tmp_path):
     got = {r["path"]: r for r in LakeTable.load(root).scan(spark).collect()}
     assert got["a.py"]["content"] == "v1"  # the equal-seq update applied
     assert got["b.py"]["stars"] == 3       # post-DDL column landed
+
+
+def test_type_normalization_and_varchar_widening():
+    """ADVICE r2: lake schemas store lattice names ('string') while raw
+    binlog DDL carries MySQL spellings ('varchar(255)'); the widening check
+    must normalize both sides or the common `CHANGE old new VARCHAR(n)`
+    rename idiom kills the stream."""
+    from seatunnel_spark.schema import is_legal_widening, normalize_sql_type
+
+    assert normalize_sql_type("VARCHAR(255)") == "string"
+    assert normalize_sql_type("varchar(255)", keep_length=True) == "varchar(255)"
+    assert normalize_sql_type("character varying(40)") == "string"
+    assert normalize_sql_type("LONGTEXT") == "string"
+    assert normalize_sql_type("INTEGER") == "int"
+    assert normalize_sql_type("int(11) unsigned") == "int"
+    assert normalize_sql_type("NUMERIC(10, 2)") == "decimal(10,2)"
+    assert normalize_sql_type("datetime(3)") == "timestamp"
+    assert normalize_sql_type("double precision") == "double"
+    assert normalize_sql_type("MEDIUMBLOB") == "bytes"
+
+    # the rename-idiom restatement: stored 'string' vs restated varchar
+    assert is_legal_widening("string", "varchar(255)")
+    assert is_legal_widening("varchar(255)", "string")
+    # varchar length growth is a widening; shrink is not
+    assert is_legal_widening("varchar(100)", "varchar(255)")
+    assert not is_legal_widening("varchar(255)", "varchar(100)")
+    # alias spellings resolve onto the numeric lattice
+    assert is_legal_widening("integer", "bigint")
+    assert not is_legal_widening("bigint", "integer")
+    assert is_legal_widening("numeric(10,2)", "decimal(12,2)")
+    assert not is_legal_widening("decimal(10,2)", "decimal(10,3)")
+
+
+def test_change_varchar_restatement_applies_to_lake(spark, table):
+    """`CHANGE old new VARCHAR(n)` over a string column must apply as
+    rename + identity widen, not die on varchar-vs-string."""
+    from seatunnel_spark.schema import parse_alter_sql
+
+    merge_into(spark, table, _batch_df(spark, ROWS1), "e1")
+    ch = parse_alter_sql("ALTER TABLE repos CHANGE `commit` commit_sha VARCHAR(255)")
+    assert table.update_schema(ch, "d1")
+    fields = {f["name"]: f["type"] for f in table.schema_fields()}
+    assert "commit_sha" in fields and "commit" not in fields
+    assert fields["commit_sha"] == "string"  # lattice spelling stored, not varchar
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    assert got["a.py"]["commit_sha"] == "c1"
