@@ -220,6 +220,41 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
         epoch = block.get("epoch_id") or f"config.{_uuid.uuid4().hex[:12]}"
         res = merge_into(batch.sparkSession, table, batch, epoch)
         return {"written": True, "merge": {k: res.get(k) for k in ("batch_rows", "skipped")}}
+    if plugin == "Iceberg":
+        # The one-config switch from the sandbox LakeTable format to a real
+        # Iceberg catalog (lake/iceberg.py): same LWW-reduced guarded-MERGE
+        # semantics, emitted as actual Iceberg Spark SQL. ``dry_run = true``
+        # returns the statements without executing — usable (and tested)
+        # without an Iceberg jar; a real deployment just configures its
+        # catalog on the session and drops dry_run.
+        from seatunnel_spark.lake.iceberg import IcebergSqlBackend
+
+        dry = bool(block.get("dry_run", False))
+        backend = IcebergSqlBackend(
+            block["table"],
+            block["primary_keys"],
+            run_sql=None if dry else df.sparkSession.sql,
+        )
+        batch = df
+        if "op" not in batch.columns:
+            batch = batch.withColumn("op", F.lit("I"))
+        if "seq" not in batch.columns:
+            batch = batch.withColumn("seq", F.lit(0).cast("long"))
+        cols = [c for c in batch.columns if c not in ("op", "seq")]
+        fields = [(n, t) for n, t in batch.dtypes if n not in ("op", "seq")]
+        if dry:
+            return {
+                "dry_run": True,
+                "create_sql": backend.create_sql(
+                    fields, num_buckets=int(block.get("num_buckets", 16))
+                ),
+                "merge_sql": backend.merge_sql("batch_src", cols),
+            }
+        import uuid as _uuid
+
+        epoch = block.get("epoch_id") or f"config.{_uuid.uuid4().hex[:12]}"
+        res = backend.merge_into(batch, epoch)
+        return {"written": True, "merge_sql": res["merge_sql"]}
     raise ConfigError(f"unknown sink plugin {plugin!r}")
 
 
