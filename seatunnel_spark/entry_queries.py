@@ -1172,6 +1172,60 @@ QUERIES["ann_lsh_buckets"] = _ann_lsh_q
 ORACLES["ann_lsh_buckets"] = _ann_lsh_sql
 
 
+def _make_ann_lsh_pairs_query():
+    """ann_lsh_pairs: embedding near-dup candidate pairs via full-signature
+    LSH buckets, with the max_bucket cap that bounds the self-join at
+    O(buckets × cap²) — the oracle replays the identical algorithm
+    (same md5-seeded hyperplane literals, same 6dp sign rounding, same cap,
+    same 8dp threshold compare) so the cap itself is correctness-checked."""
+    from seatunnel_spark.operators.similarity import _hyperplane
+
+    dim, planes, threshold, cap = 64, 4, 0.3, 64
+    hps = [_hyperplane(dim, p) for p in range(planes)]
+
+    sign_terms_sql = " + ".join(
+        f"(CASE WHEN round(list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(v) for v in hp)}]::DOUBLE[]), 6) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, hp in enumerate(hps)
+    )
+    sql = f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, ({sign_terms_sql}) AS lsh_sig FROM embeddings
+    ),
+    small AS (
+      SELECT lsh_sig FROM sigs GROUP BY lsh_sig HAVING count(*) <= {cap}
+    ),
+    capped AS (SELECT s.* FROM sigs s JOIN small USING (lsh_sig)),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 8) AS c
+      FROM capped a JOIN capped b
+        ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(c, 5) AS cos_sim FROM scored WHERE c >= {threshold}
+    """
+
+    def q(spark, sf_dir):
+        from seatunnel_spark.operators.similarity import lsh_near_dup_pairs
+
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        out = lsh_near_dup_pairs(
+            emb, dim, planes=planes, threshold=threshold,
+            max_bucket=cap, round_dp=6,
+        )
+        return out.select("vec_a", "vec_b", F.round("cos_sim", 5).alias("cos_sim"))
+
+    return q, sql
+
+
+_ann_lsh_pairs_q, _ann_lsh_pairs_sql = _make_ann_lsh_pairs_query()
+QUERIES["ann_lsh_pairs"] = _ann_lsh_pairs_q
+ORACLES["ann_lsh_pairs"] = _ann_lsh_pairs_sql
+
+
 @_reg(
     "text_token_count",
     f"""
@@ -1377,12 +1431,34 @@ def pk_salted_apply_digest(spark, sf_dir):
     )
 
 
-# --- non-SQL-expressible entries (rows-only driver check) -------------
-
-@_reg("media_feature_extract")  # no oracle: mapInPandas over binary payloads
+@_reg(
+    "media_feature_extract",
+    """
+    WITH m AS (
+      SELECT i,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+             END AS kind,
+             repeat(md5('media|' || i), 4 + i % 7) AS payload_hex
+      FROM range(0, 96) t(i)
+    ),
+    f AS (
+      SELECT kind,
+             CAST(length(payload_hex) / 2 AS BIGINT) AS n_bytes,
+             (('0x' || substr(md5(payload_hex || '|0'), 1, 8))::BIGINT
+              / 4294967296.0)::REAL AS f0
+      FROM m
+    )
+    SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(avg(f0), 6) AS avg_f0
+    FROM f GROUP BY kind
+    """,
+)
 def media_feature_extract(spark, sf_dir):
     """Multimodal plumbing: opaque binary column → Arrow-batched featurizer
-    (deterministic fake decode; real codecs stubbed per container limits)."""
+    (deterministic fake decode; real codecs stubbed per container limits).
+    The fake featurizer md5-folds the payload's hex form, so the oracle
+    replays the identical chain in SQL — hex(md5-chain payload) == repeated
+    md5 hex string, and float32 quantization is mirrored with ::REAL."""
     from seatunnel_spark.operators.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, n=96)

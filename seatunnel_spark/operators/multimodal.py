@@ -53,10 +53,14 @@ def synthesize_media(spark, n: int = 64) -> DataFrame:
 
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder: md5-fold the payload into
-    FEATURE_DIM floats in [0, 1)."""
+    FEATURE_DIM floats in [0, 1). Hashes the HEX form of the payload (not
+    raw bytes) so the whole chain is expressible in ANSI SQL over VARCHAR —
+    DuckDB's md5 takes no BLOBs — making this operator fully
+    oracle-checkable."""
+    hx = payload.hex()
     out = np.empty(FEATURE_DIM, dtype=np.float32)
     for d in range(FEATURE_DIM):
-        h = hashlib.md5(payload + bytes([d])).digest()
+        h = hashlib.md5(f"{hx}|{d}".encode()).digest()
         out[d] = int.from_bytes(h[:4], "big") / float(1 << 32)
     return out
 

@@ -92,13 +92,22 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 
 def lsh_signature(
-    df: DataFrame, dim: int, planes: int = 8, vec_col: str = "embedding"
+    df: DataFrame,
+    dim: int,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
-    """Random-hyperplane signature: one bit per plane = sign(v · h_p)."""
+    """Random-hyperplane signature: one bit per plane = sign(v · h_p).
+    ``round_dp`` rounds the dot product before the sign test — keeps
+    borderline values bit-stable across engines (oracle parity)."""
     bits = []
     for p in range(planes):
         h = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-        bits.append(F.when(_dot(F.col(vec_col), h) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        d = _dot(F.col(vec_col), h)
+        if round_dp is not None:
+            d = F.round(d, round_dp)
+        bits.append(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
@@ -194,10 +203,32 @@ def lsh_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 64,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: bucket by full signature, verify cosine
-    within buckets only. Returns (vec_a, vec_b, cos_sim)."""
-    sigs = lsh_signature(df, dim, planes, vec_col).select(id_col, vec_col, "lsh_sig")
+    within buckets only. Returns (vec_a, vec_b, cos_sim).
+
+    ``max_bucket`` caps signature-bucket size before the self-join (the same
+    guard its minhash sibling has, dedup_docs.minhash_lsh_pairs): on a
+    near-dup-heavy corpus — the exact case this operator exists for — a
+    cluster of N near-identical embeddings shares one signature and would
+    emit N²/2 pairs (10^6 dupes → 5·10^11 rows). Buckets above the cap are
+    skipped: such a bucket is an (near-)exact-dup cluster that exact
+    dedup collapses in O(N); run it first and feed canonical representatives
+    here. The cap bounds the pair count at O(buckets × cap²) by
+    construction."""
+    sigs = lsh_signature(df, dim, planes, vec_col, round_dp=round_dp).select(
+        id_col, vec_col, "lsh_sig"
+    )
+    if max_bucket is not None:
+        small = (
+            sigs.groupBy("lsh_sig")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") <= max_bucket)
+            .select("lsh_sig")
+        )
+        sigs = sigs.join(small, "lsh_sig", "leftsemi")
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(

@@ -204,8 +204,8 @@ def test_entry_contract():
     qs, os_ = e.queries(), e.oracle_sql()
     assert len(qs) >= 25
     assert set(os_) <= set(qs)
-    no_oracle = set(qs) - set(os_)
-    assert no_oracle <= {"media_feature_extract", "dedup_minhash_lsh_pairs"}
+    # every registered query now has a DuckDB oracle (r3: media closed)
+    assert set(qs) == set(os_)
 
 
 def test_ivf_topk_recall_and_plan(spark):
@@ -259,3 +259,34 @@ def test_pii_redact(spark):
     assert got[3]["n_ipv4"] == 2
     assert got[4]["text_redacted"] == "no pii here at all"
     assert got[4]["n_email"] == got[4]["n_phone"] == got[4]["n_ipv4"] == 0
+
+
+def test_lsh_near_dup_pairs_bucket_cap(spark):
+    """VERDICT r2: a cluster of N near-identical embeddings shares one
+    signature → uncapped self-join emits N²/2 pairs. With max_bucket the
+    oversized bucket is skipped entirely and total pair count stays
+    O(buckets × cap²)."""
+    import math
+
+    dim, cap = 8, 16
+    # 1000 identical vectors (one signature bucket) + 40 distinct others
+    dup = [(i, [1.0] * dim) for i in range(1000)]
+    distinct = [
+        (1000 + i, [math.sin(i * 7.3 + d) for d in range(dim)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(dup + distinct, "vec_id long, embedding array<double>")
+
+    capped = similarity.lsh_near_dup_pairs(
+        df, dim, planes=4, threshold=-1.0, max_bucket=cap
+    )
+    n = capped.count()
+    # every surviving bucket has ≤ cap members → ≤ 16 buckets × C(cap,2)
+    assert n <= 16 * cap * (cap - 1) // 2
+    # the dup cluster contributed nothing (its bucket size 1000+ > cap)
+    assert capped.where(F.col("vec_a") < 1000).count() == 0
+    # uncapped on just the small corpus still works (cap=None passthrough)
+    un = similarity.lsh_near_dup_pairs(
+        spark.createDataFrame(distinct, "vec_id long, embedding array<double>"),
+        dim, planes=4, threshold=-1.0, max_bucket=None,
+    )
+    assert un.count() > 0
