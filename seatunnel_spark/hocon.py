@@ -6,9 +6,14 @@ the subset those job files actually use — nested braces, ``key = value`` /
 ``#``/``//`` comments, duplicate-key object merge — so a reference config
 runs here verbatim via ``config.run_job(spark, load_job_config(text))``.
 
-Out of scope (documented container limits, raise cleanly): substitutions
-(``${...}``), includes, multiline strings. None appear in the reference's
-connector e2e configs.
+Substitutions are supported (the reference's production configs lean on env
+blocks heavily): ``${path.to.key}`` resolves against the config tree first,
+then the process environment, and errors if missing; ``${?key}`` is the
+optional form — an unresolved optional drops the key (or contributes an
+empty string inside a concatenation). String concatenation of quoted
+strings and substitutions on one line works
+(``url = "jdbc:mysql://"${host}":"${port}``). Cycles are detected and
+raise. Out of scope (raise cleanly): includes, multiline strings.
 
 Reference shape (e.g. connector-cdc-mysql-e2e mysqlcdc_to_mysql.conf):
 
@@ -28,13 +33,103 @@ class HoconError(ValueError):
     pass
 
 
-def loads(text: str) -> dict:
+def loads(text: str, env: dict | None = None) -> dict:
+    """Parse + resolve. ``env`` overrides the process environment for
+    substitution fallback (tests)."""
     p = _Parser(text)
     out = p.parse_object(top_level=True)
     p.skip_ws()
     if not p.eof():
         raise HoconError(f"trailing content at {p.i}: {p.s[p.i:p.i+30]!r}")
-    return out
+    return _resolve_tree(out, env)
+
+
+class _Subst:
+    """An unresolved ``${path}`` / ``${?path}`` token."""
+
+    __slots__ = ("path", "optional")
+
+    def __init__(self, path: str, optional: bool):
+        self.path = path
+        self.optional = optional
+
+
+class _Concat:
+    """Same-line concatenation of strings and substitutions."""
+
+    __slots__ = ("parts",)
+
+    def __init__(self, parts: list):
+        self.parts = parts
+
+
+_MISSING = object()  # unresolved optional substitution → key is dropped
+
+
+def _resolve_tree(root: dict, env: dict | None = None) -> dict:
+    """Resolve substitutions against the config tree, falling back to the
+    process environment (typesafe-config's ``ConfigFactory.load()``
+    behavior). Values pulled from the environment are type-coerced like
+    unquoted scalars; config-tree lookups keep their parsed type."""
+    import os
+
+    environ = os.environ if env is None else env
+    in_progress: set[str] = set()
+
+    def lookup(path: str):
+        """Walk dotted segments through nested dicts; at every level also try
+        the remaining joined path as a literal key (this parser stores
+        ``job.mode`` flat)."""
+
+        def walk(node, segs):
+            if not segs:
+                return True, node
+            if not isinstance(node, dict):
+                return False, None
+            joined = ".".join(segs)
+            if joined in node:
+                return True, node[joined]
+            if segs[0] in node:
+                return walk(node[segs[0]], segs[1:])
+            return False, None
+
+        return walk(root, path.split("."))
+
+    def resolve(v):
+        if isinstance(v, _Subst):
+            if v.path in in_progress:
+                raise HoconError(f"substitution cycle through ${{{v.path}}}")
+            found, got = lookup(v.path)
+            if found:
+                in_progress.add(v.path)
+                try:
+                    return resolve(got)
+                finally:
+                    in_progress.discard(v.path)
+            if v.path in environ:
+                return _coerce(environ[v.path])
+            if v.optional:
+                return _MISSING
+            raise HoconError(f"unresolved substitution ${{{v.path}}}")
+        if isinstance(v, _Concat):
+            out = []
+            for part in v.parts:
+                r = resolve(part)
+                if r is _MISSING:
+                    continue
+                out.append("" if r is None else str(r))
+            return "".join(out)
+        if isinstance(v, dict):
+            return {
+                k: rv
+                for k, rv in ((k, resolve(x)) for k, x in v.items())
+                if rv is not _MISSING
+            }
+        if isinstance(v, list):
+            return [r for r in (resolve(x) for x in v) if r is not _MISSING]
+        return v
+
+    return resolve(root)
 
 
 class _Parser:
@@ -112,14 +207,57 @@ class _Parser:
             return self.parse_object()
         if c == "[":
             return self.parse_array()
-        if c == '"':
-            return self.parse_quoted()
-        if self.s.startswith("${", self.i):
-            raise HoconError("HOCON substitutions (${...}) are not supported")
-        # unquoted scalar: runs to end of line / comma / closing brace/bracket
+        # scalar position: a sequence of ADJACENT quoted strings,
+        # ${substitutions} and unquoted chunks, concatenated (HOCON value
+        # concatenation — `url = "jdbc:x://"${host}":"${port}`,
+        # `p = ${root}/out`). Adjacency (no whitespace between parts) is the
+        # continuation rule: whitespace after a quoted/substituted part ends
+        # the value, so `name = "t1"  rules { ... }` parses as two pairs.
+        parts: list = []
+        while True:
+            before = self.i
+            c = self.peek()
+            if c == '"':
+                parts.append(("q", self.parse_quoted()))
+            elif self.s.startswith("${", self.i):
+                parts.append(("s", self.parse_subst()))
+            else:
+                raw = self.parse_unquoted_chunk()
+                if raw:
+                    parts.append(("u", raw))
+            c = self.peek()
+            if (
+                self.eof()
+                or c in ' \t,\n#}]{'
+                or self.s.startswith("//", self.i)
+                or self.i == before  # no progress: key-lookahead cut point
+            ):
+                break
+        if not parts:
+            raise HoconError(f"empty value at {self.i}")
+        if len(parts) == 1:
+            kind, v = parts[0]
+            return _coerce(v) if kind == "u" else v
+        return _Concat([v for _, v in parts])
+
+    def parse_subst(self) -> "_Subst":
+        end = self.s.find("}", self.i)
+        if end < 0:
+            raise HoconError(f"unterminated substitution at {self.i}")
+        inner = self.s[self.i + 2 : end]
+        self.i = end + 1
+        optional = inner.startswith("?")
+        path = (inner[1:] if optional else inner).strip()
+        if not path:
+            raise HoconError(f"empty substitution at {end}")
+        return _Subst(path, optional)
+
+    def parse_unquoted_chunk(self) -> str:
+        # unquoted scalar: runs to end of line / comma / closing brace or
+        # bracket / a quote / the start of a ${substitution}
         j = self.i
-        while j < len(self.s) and self.s[j] not in ",\n#}]":
-            if self.s.startswith("//", j):
+        while j < len(self.s) and self.s[j] not in ',\n#}]"':
+            if self.s.startswith("//", j) or self.s.startswith("${", j):
                 break
             j += 1
         raw = self.s[self.i : j]
@@ -135,10 +273,8 @@ class _Parser:
         if nxt:
             j = self.i + nxt.start()
             raw = raw[: nxt.start()]
-        raw, self.i = raw.strip(), j
-        if raw == "":
-            raise HoconError(f"empty value at {self.i}")
-        return _coerce(raw)
+        self.i = j
+        return raw.strip()
 
     def parse_array(self) -> list:
         assert self.peek() == "["

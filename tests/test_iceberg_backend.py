@@ -149,7 +149,7 @@ def test_config_switch_iceberg_dry_run(spark):
             {
                 "plugin": "FakeSource",
                 "result_table_name": "t1",
-                "row_num": 4,
+                "row.num": 4,
                 "schema": {"fields": {"repo": "string", "path": "string", "content": "string"}},
             }
         ],
