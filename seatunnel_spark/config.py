@@ -258,12 +258,51 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
     raise ConfigError(f"unknown sink plugin {plugin!r}")
 
 
+def register_config_udf(spark: SparkSession, name: str, spec: dict) -> None:
+    """Register one user scalar function from a config ``udf`` block::
+
+        udf {
+          DOUBLE_LEN { module = "my_pkg.udfs", function = "double_len",
+                       returns = "bigint" }
+        }
+
+    ``module``/``function`` locate a Python callable (the ZetaUDF
+    "classpath" analog). If it is already a Spark UDF (e.g. decorated with
+    ``@pandas_udf``) it registers as-is; a plain callable over pandas Series
+    is wrapped as an Arrow-vectorized pandas_udf with the declared
+    ``returns`` type — never a row-at-a-time Python UDF."""
+    import importlib
+
+    if not isinstance(spec, dict) or "module" not in spec or "function" not in spec:
+        raise ConfigError(f"udf {name!r} needs module and function")
+    try:
+        mod = importlib.import_module(spec["module"])
+        fn = getattr(mod, spec["function"])
+    except (ImportError, AttributeError) as e:
+        raise ConfigError(f"udf {name!r}: cannot load {spec['module']}.{spec['function']}: {e}")
+    if not hasattr(fn, "returnType"):  # plain callable → vectorize it
+        returns = spec.get("returns")
+        if not returns:
+            raise ConfigError(f"udf {name!r}: plain functions need a returns type")
+        from pyspark.sql.functions import pandas_udf
+
+        fn = pandas_udf(returns)(fn)
+    spark.udf.register(name, fn)
+
+
 def run_job(spark: SparkSession, config: dict) -> dict[str, dict]:
     """Execute a BATCH job config: sources register named tables, transforms
     chain through source/result table names, every sink consumes its named
     input. Returns {sink descriptor: sink result}. A transform with no
     ``source_table_name`` consumes the previous block's result, matching the
-    reference's implicit single-pipeline chaining."""
+    reference's implicit single-pipeline chaining.
+
+    A ``udf`` block registers user scalar functions before any transform
+    runs, so a Sql transform can call them by name — the Python analog of
+    the reference's ServiceLoader-discovered ZetaUDF SPI (sql/zeta/
+    ZetaUDF.java): the classpath entry becomes an import path."""
+    for name, spec in (config.get("udf") or {}).items():
+        register_config_udf(spark, name, spec)
     tables: dict[str, DataFrame] = {}
     last: str | None = None
     for block in config.get("source") or []:

@@ -174,28 +174,17 @@ def s4_sample_sharding(spark, sf_dir):
     window — the same shape as the reference, whose sampling-based splitter
     likewise collects sampled keys into one enumerator to derive boundaries.
     At 10^10 events with ~10^7 keys the window input is ~0.1% of the table;
-    at extreme key cardinality you'd sample the histogram first. shard(u) =
-    1 + floor((cum(u)-1) * S / N): every event of a key lands in one shard,
-    shards are depth-balanced up to the heaviest key."""
+    above ``sample_threshold`` distinct keys the operator hash-mod samples
+    the histogram FIRST and derives boundaries from the sample (the
+    reference's 1/1000 sampling, JdbcSourceOptions.java:127-138) —
+    operators/sharding.py, pytest-covered. shard(u) = 1 + floor((cum(u)-1)
+    * S / N): every event of a key lands in one shard, shards are
+    depth-balanced up to the heaviest key."""
+    from seatunnel_spark.operators.sharding import sample_sharding
+
     ev = _t(spark, sf_dir, "events")
-    hist = ev.groupBy("user_id").agg(F.count("*").alias("c"))
-    w_cum = Window.orderBy("user_id").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = hist.select(
-        "user_id",
-        "c",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
-    )
-    shard = (F.lit(1) + _idiv((F.col("cum") - 1) * 16, F.col("n"))).cast("bigint")
-    return (
-        cum.groupBy(shard.alias("shard"))
-        .agg(
-            F.sum("c").cast("bigint").alias("n_rows"),
-            F.min("user_id").alias("key_lo"),
-            F.max("user_id").alias("key_hi"),
-        )
-    )
+    out, _sampled = sample_sharding(ev, "user_id", shards=16)
+    return out
 
 
 @_reg(

@@ -335,7 +335,7 @@ def load_job_config(text: str) -> dict:
     plugin-name-keyed blocks (``source { FakeSource { ... } }``) become
     ``[{"plugin": "FakeSource", ...}]``; list-shaped blocks pass through."""
     raw = loads(text)
-    out: dict = {"env": raw.get("env") or {}}
+    out: dict = {"env": raw.get("env") or {}, "udf": raw.get("udf") or {}}
     for section in ("source", "transform", "sink"):
         block = raw.get(section)
         if block is None:

@@ -1,0 +1,106 @@
+"""Equi-depth sample sharding — the reference's sampling-based chunk
+splitter re-expressed Spark-first.
+
+Reference: AbstractJdbcSourceChunkSplitter.java:233-269
+(``efficientShardingThroughSampling``) samples the key column at a
+configured rate (JdbcSourceOptions.java:127-138, default 1/1000 above the
+``sample-sharding.threshold``) and cuts split boundaries at equal ranks of
+the sorted sample, instead of scanning the full key space.
+
+Scale shape here:
+- exact path (small/medium key cardinality): the raw table reduces to one
+  row per key (map-side-combinable aggregate); only that histogram passes
+  through the single-partition cumulative window. At 10^10 events with 10^7
+  keys the window input is ~0.1% of the table.
+- sampled path (extreme key cardinality, > ``sample_threshold`` distinct
+  keys): the histogram is hash-mod sampled FIRST (deterministic xxhash64 —
+  reproducible), boundary keys are taken at equal ranks of the sample, and
+  the S-1 boundaries are collected to the driver (tiny, exactly the
+  reference's enumerator-side boundary derivation). Shard assignment is then
+  a pure literal-comparison projection over the histogram — no global sort
+  of anything bigger than the sample ever happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _idiv(a, b):
+    return F.floor(a / b)
+
+
+def sample_sharding(
+    ev: DataFrame,
+    key: str = "user_id",
+    shards: int = 16,
+    sample_threshold: int = 10**6,
+    sample_rate: int = 1000,
+) -> tuple[DataFrame, bool]:
+    """Equi-depth shard summary (shard, n_rows, key_lo, key_hi).
+
+    Returns (df, sampled): ``sampled`` reports whether the sampling path
+    activated (distinct keys > sample_threshold). The histogram count is one
+    cheap aggregate action — the stand-in for the table-stats estimate the
+    reference reads from the database before choosing its splitter
+    (JdbcSourceChunkSplitter queries row-count stats)."""
+    hist = ev.groupBy(key).agg(F.count("*").alias("c"))
+    n_keys = hist.count()
+    if n_keys <= sample_threshold:
+        w_cum = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+        w_all = Window.partitionBy()
+        cum = hist.select(
+            key,
+            "c",
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("n"),
+        )
+        shard = (F.lit(1) + _idiv((F.col("cum") - 1) * shards, F.col("n"))).cast(
+            "bigint"
+        )
+        out = cum.groupBy(shard.alias("shard")).agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.min(key).alias("key_lo"),
+            F.max(key).alias("key_hi"),
+        )
+        return out, False
+
+    # ---- sampled path: 1/sample_rate of the ROWS, never the full table ----
+    # Row-sampling (not key-sampling) keeps boundaries depth-weighted: a hot
+    # key contributes proportionally many sampled rows, exactly like the
+    # reference's sampleDataFromColumn. The hash is over every column so
+    # it's a deterministic per-row coin flip, reproducible across runs.
+    sample = ev.select(key).where(
+        F.pmod(F.xxhash64(*ev.columns), F.lit(sample_rate)) == 0
+    )
+    w_rank = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = sample.select(
+        key,
+        F.count(F.lit(1)).over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("ns"),
+    )
+    # boundary keys at equal sample ranks: the key where floor(rn*S/ns)
+    # steps up — ≤ S-1 rows, collected driver-side (enumerator parity)
+    step = _idiv(F.col("rn") * shards, F.col("ns"))
+    prev_step = _idiv((F.col("rn") - 1) * shards, F.col("ns"))
+    bounds = sorted(
+        {
+            r[0]
+            for r in ranked.where((step > prev_step) & (step < shards))
+            .select(key)
+            .collect()
+        }
+    )
+    # assignment: pure projection over the histogram — shard = 1 + #bounds
+    # strictly below the key (literal comparisons, codegen'd, no join)
+    expr = F.lit(1)
+    for b in bounds:
+        expr = expr + (F.col(key) > F.lit(b)).cast("int")
+    out = hist.groupBy(expr.cast("bigint").alias("shard")).agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.min(key).alias("key_lo"),
+        F.max(key).alias("key_hi"),
+    )
+    return out, True
