@@ -113,3 +113,25 @@ def read_changelog_stream(
     return changelog_to_events(
         parsed, [f.name for f in row_schema.fields], keep_table=keep_table
     )
+
+
+def read_changelog_batch(
+    spark: SparkSession,
+    source_dir: str,
+    wire_format: str,
+    row_schema: T.StructType,
+    keep_table: bool = False,
+) -> DataFrame:
+    """Bounded (batch) read of the same file-backed changelog — used for
+    offset resolution (StartupMode/StopMode TIMESTAMP): one scan of the log
+    with the timestamp predicate, never a streaming trigger. On a real
+    broker this job is the broker's timestamp index (Kafka
+    ``offsetsForTimes``); the file-backed stand-in ts-filters the parsed
+    stream instead — same contract, engine-side."""
+    if wire_format not in WIRE_FORMATS:
+        raise ValueError(f"unknown wire_format {wire_format!r}; use one of {WIRE_FORMATS}")
+    raw = spark.read.text(source_dir)
+    parsed = _PARSERS[wire_format](raw, row_schema)
+    return changelog_to_events(
+        parsed, [f.name for f in row_schema.fields], keep_table=keep_table
+    )

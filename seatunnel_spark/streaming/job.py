@@ -208,34 +208,38 @@ class CdcIngestJob:
         monotone with seq, so min(seq | ts >= t) is the exact resume point;
         the `ts >= t` predicate pushes down to parquet row-group stats, so
         the scan touches only the log tail. Returns None when no event is at
-        or after the timestamp (nothing to replay)."""
-        if self.wire_format != "parquet-events":
-            raise NotImplementedError(
-                "TIMESTAMP startup needs the typed log; queue sources seek "
-                "by broker timestamp index (Kafka offsetsForTimes) instead"
-            )
+        or after the timestamp (nothing to replay).
+
+        Queue wire formats resolve the same way over a bounded read of the
+        file-backed changelog (ts comes from the envelope's ts_ms); on a
+        real broker you'd use its timestamp index instead (Kafka
+        ``offsetsForTimes``) — same contract, broker-side."""
         row = (
-            self.spark.read.schema(event_schema())
-            .parquet(self.events_dir)
+            self._bounded_log()
             .where(F.col("ts") >= F.lit(start_ts))
             .agg(F.min("seq").alias("s"))
             .collect()[0]
         )
         return int(row["s"]) if row["s"] is not None else None
 
+    def _bounded_log(self) -> DataFrame:
+        """One batch-mode view of the event log, any wire format."""
+        if self.wire_format == "parquet-events":
+            return self.spark.read.schema(event_schema()).parquet(self.events_dir)
+        from seatunnel_spark.sources.queue import read_changelog_batch
+
+        return read_changelog_batch(
+            self.spark, self.events_dir, self.wire_format, self.wire_row_schema
+        )
+
     def resolve_stop_timestamp(self, stop_ts) -> int | None:
         """StopMode TIMESTAMP → the largest seq whose event time is
         <= stop_ts (the reference's binlog task self-terminates once it
         reads past the stop timestamp). One bounded query, same pushdown
-        as resolve_timestamp."""
-        if self.wire_format != "parquet-events":
-            raise NotImplementedError(
-                "TIMESTAMP stop needs the typed log; queue sources stop "
-                "by broker timestamp index instead"
-            )
+        as resolve_timestamp; works on all wire formats like its start
+        twin."""
         row = (
-            self.spark.read.schema(event_schema())
-            .parquet(self.events_dir)
+            self._bounded_log()
             .where(F.col("ts") <= F.lit(stop_ts))
             .agg(F.max("seq").alias("s"))
             .collect()[0]
@@ -533,3 +537,63 @@ class CdcIngestJob:
             },
             "metrics",
         )
+
+
+# -------------------------------------------------- maintenance horizon
+
+def checkpoint_horizon(job: "CdcIngestJob") -> int | None:
+    """The seq below which the source can no longer replay — the safety
+    fence for tombstone expiry (merge.expire_tombstones docstring).
+
+    Derivation: Structured Streaming re-delivers batch N after restart only
+    when ``offsets/N`` exists without ``commits/N``; any batch WITH a commit
+    marker is final. The per-batch seq ranges live in the lineage table
+    (written in the same foreachBatch transaction set as the data commits),
+    so the horizon is 1 + the highest seq_max across batches that (a) carry
+    a commit marker and (b) precede every uncommitted batch. Assumes the log
+    is seq-monotone across files (binlog/WAL segment property) — arbitrary
+    out-of-order OLD events are exactly what tombstones guard, so expiry
+    below the horizon stays safe.
+
+    Returns None when nothing is safely expirable (no committed batches or
+    no lineage yet)."""
+    commits_dir = os.path.join(job.checkpoint_dir, "commits")
+    offsets_dir = os.path.join(job.checkpoint_dir, "offsets")
+    if not os.path.isdir(commits_dir):
+        return None
+    committed = {int(f) for f in os.listdir(commits_dir) if f.isdigit()}
+    offered = (
+        {int(f) for f in os.listdir(offsets_dir) if f.isdigit()}
+        if os.path.isdir(offsets_dir)
+        else set()
+    )
+    if not committed or not os.path.isdir(job.lineage_dir):
+        return None
+    uncommitted = [b for b in offered if b not in committed]
+    cutoff = min(uncommitted) if uncommitted else max(committed) + 1
+    row = (
+        job.spark.read.parquet(job.lineage_dir)
+        .where((F.col("batch_id") >= 0) & (F.col("batch_id") < cutoff))
+        .where(F.col("batch_id").isin([b for b in committed if b < cutoff]))
+        .agg(F.max("seq_max").alias("hi"))
+        .collect()[0]
+    )
+    return int(row["hi"]) + 1 if row["hi"] is not None else None
+
+
+def expire_safe_tombstones(job: "CdcIngestJob") -> dict:
+    """Maintenance entry point: derive the horizon from the job's own
+    checkpoint + lineage and expire tombstones below it. Epoch-led (the
+    epoch id embeds the horizon), so re-running with an unchanged horizon
+    is a no-op — the same idempotence contract as every other commit."""
+    from seatunnel_spark.lake.merge import expire_tombstones
+
+    horizon = checkpoint_horizon(job)
+    if horizon is None:
+        return {"skipped": True, "reason": "no committed horizon"}
+    table = LakeTable.load(job.table_root)
+    res = expire_tombstones(
+        job.spark, table, before_seq=horizon, epoch_id=f"maint.expire.h{horizon}"
+    )
+    res["horizon"] = horizon
+    return res

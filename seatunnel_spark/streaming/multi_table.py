@@ -8,13 +8,25 @@ Spark realization: the wire stream carries a ``_table`` column (the
 debezium/canal parsers in sources/formats.py emit it); ``foreachBatch``
 routes each table's slice to its own LakeTable with per-(batch, table)
 epoch ids, so the multi-table commit set is idempotent exactly like the
-single-table path. Routing is a filter per table — each slice scan prunes
-on the `_table` predicate (pushed to parquet), so per-table cost tracks
-per-table volume, not stream volume; at many-table scale you'd first
-`partitionBy(_table)` the landing zone so slices prune by directory.
+single-table path.
+
+Two routing layouts:
+- few tables (default): a filter per table — each slice scan prunes on the
+  ``_table`` predicate (pushed to parquet), so per-table cost tracks
+  per-table volume, not stream volume, but the batch is SCANNED once per
+  destination.
+- many tables (``landing_dir`` set and table count ≥ ``landing_threshold``):
+  the batch is written ONCE ``partitionBy(_table)`` into a per-batch landing
+  zone, then every slice reads only its own ``_table=<name>/`` directory —
+  directory pruning, one scan of the stream total plus one O(slice) read per
+  table. The landing write is replay-safe (mode=overwrite under the batch
+  id) and removed after all merges commit.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,23 +39,52 @@ class MultiTableRouter:
     """Route a changelog batch (with a ``_table`` column) into N LakeTables."""
 
     def __init__(self, spark: SparkSession, tables: dict[str, LakeTable],
-                 table_col: str = "_table"):
+                 table_col: str = "_table", landing_dir: str | None = None,
+                 landing_threshold: int = 8):
         self.spark = spark
         self.tables = tables
         self.table_col = table_col
+        self.landing_dir = landing_dir
+        self.landing_threshold = landing_threshold
+
+    def _land_batch(self, batch: DataFrame, batch_id: int) -> str:
+        """Write the batch once, hive-partitioned by destination table."""
+        land = os.path.join(self.landing_dir, f"batch={batch_id}")
+        batch.write.mode("overwrite").partitionBy(self.table_col).parquet(land)
+        return land
+
+    def _landed_slice(self, land: str, name: str) -> DataFrame | None:
+        """One table's slice by DIRECTORY — no predicate, no foreign files."""
+        path = os.path.join(land, f"{self.table_col}={name}")
+        if not os.path.isdir(path):
+            return None  # table had no rows this batch
+        return self.spark.read.parquet(path)
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> dict[str, dict]:
         """One idempotent merge per destination table; unknown table ids are
         counted and skipped (the reference drops rows for unconfigured
         tables). Returns per-table merge stats."""
         results: dict[str, dict] = {}
+        land = None
+        if self.landing_dir is not None and len(self.tables) >= self.landing_threshold:
+            land = self._land_batch(batch, batch_id)
         for name, table in self.tables.items():
-            slice_df = batch.where(F.col(self.table_col) == name).drop(self.table_col)
+            if land is not None:
+                slice_df = self._landed_slice(land, name)
+                if slice_df is None:
+                    results[name] = {"skipped": True, "epoch_id": f"b{batch_id}.t.{name}"}
+                    continue
+            else:
+                slice_df = batch.where(
+                    F.col(self.table_col) == name
+                ).drop(self.table_col)
             results[name] = merge_into(
                 self.spark, table, slice_df,
                 epoch_id=f"b{batch_id}.t.{name}",
                 collect_stats=False,
             )
+        if land is not None:
+            shutil.rmtree(land, ignore_errors=True)
         return results
 
     def run_stream(self, stream: DataFrame, checkpoint_dir: str,
