@@ -1459,6 +1459,35 @@ def media_feature_extract(spark, sf_dir):
     )
 
 
+_MINHASH_PAIRS_CTES = f"""
+    sig AS (
+      SELECT doc_id,
+             [list_min([('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 12))::BIGINT
+                        FOR s IN {_DSH}])
+              FOR i IN range(0, 16)] AS mh
+      FROM documents),
+    bands AS (
+      SELECT doc_id, b AS band,
+             md5(array_to_string([mh[b * 4 + j + 1]::VARCHAR FOR j IN range(0, 4)], ',')) AS bh
+      FROM sig, range(0, 4) t(b)),
+    ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 10),
+    capped AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM capped l JOIN capped r ON l.band = r.band AND l.bh = r.bh
+                                 AND l.doc_id < r.doc_id),
+    sh AS (SELECT doc_id, list_distinct({_DSH}) AS s FROM documents),
+    verified AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+                JOIN sh b ON b.doc_id = cand.doc_b
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2)
+"""
+
+
 @_reg(
     "dedup_minhash_lsh_pairs",
     f"""
@@ -1497,3 +1526,32 @@ def dedup_minhash_lsh_pairs_q(spark, sf_dir):
     return verified.where(F.col("jaccard") >= 0.2).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@_reg(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+              UNION SELECT doc_b, doc_a FROM verified),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: the verified LSH pair list → connected
+    components via iterative min-label propagation (O(E) joins per round,
+    rounds = component diameter, lineage truncated per round) → one
+    canonical doc per cluster. The oracle replays it as a recursive
+    reachability CTE — same pairs, same min-id labeling."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_docs.minhash_lsh_pairs(docs, k=16, bands=4, max_bucket=10)
+    verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
+    return dedup_docs.dup_clusters(verified)

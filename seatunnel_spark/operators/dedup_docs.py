@@ -184,3 +184,63 @@ def simhash(df: DataFrame, id_col: str = "doc_id", col: str = "text", bits: int 
     for e in bit_exprs[1:]:
         sim = sim + e
     return df.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION: connected components over the candidate
+    pair list → (doc_id, cluster_id, is_canonical), cluster_id = the
+    smallest doc id in the component (the canonical representative a
+    training-data pipeline keeps; the rest are dropped or down-weighted).
+
+    Algorithm: iterative min-label propagation over the edge list — each
+    round is one shuffle join (edges ⋈ labels) + a groupBy-min, i.e.
+    O(E) per round, and rounds are bounded by the component diameter.
+    Near-dup components are LSH-bucket cliques (diameter 1-2), so this
+    converges in 2-3 rounds in practice; ``max_iters`` is the adversarial
+    backstop. Each round ``localCheckpoint``s the label table to truncate
+    the lineage chain (iterative plans otherwise grow unboundedly — the
+    standard Spark iterative-algorithm discipline; on a cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    executor-fault tolerance).
+
+    Only documents that appear in at least one pair are returned —
+    singletons are by definition their own cluster and never need
+    rewriting."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        merged = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                F.col("lbl").alias("old_lbl"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = merged.where(F.col("new_lbl") != F.col("old_lbl")).count()
+        labels = merged.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+    )

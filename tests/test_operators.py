@@ -320,3 +320,27 @@ def test_sample_sharding_sampled_path(spark):
     ideal = total / 16
     assert max(r["n_rows"] for r in rows) <= 3 * ideal
     assert len(rows) >= 12  # nearly all shards materialize
+
+
+def test_dup_clusters_connected_components(spark):
+    """Cluster resolution over candidate pairs: a chain, a clique, and an
+    isolated pair each collapse to their min-id label; convergence needs
+    diameter rounds (the chain exercises >1 round)."""
+    pairs = spark.createDataFrame(
+        [
+            # chain 1-2-3-4 (diameter 3: propagation must iterate)
+            (1, 2), (2, 3), (3, 4),
+            # clique 10-11-12
+            (10, 11), (10, 12), (11, 12),
+            # isolated pair
+            (20, 21),
+        ],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_docs.dup_clusters(pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        10: (10, True), 11: (10, False), 12: (10, False),
+        20: (20, True), 21: (20, False),
+    }
