@@ -1143,7 +1143,7 @@ def _make_ann_lsh_query():
         )
         sig = F.lit(0)
         for p, hp in enumerate(hps):
-            h = F.array(*[F.lit(v) for v in hp])
+            h = F.lit(hp)  # one Literal node per hyperplane
             sig = sig + F.when(
                 F.round(_dot(F.col("embedding"), h), 6) >= 0, F.lit(1 << p)
             ).otherwise(F.lit(0))

@@ -103,7 +103,7 @@ def lsh_signature(
     borderline values bit-stable across engines (oracle parity)."""
     bits = []
     for p in range(planes):
-        h = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        h = F.lit(_hyperplane(dim, p))  # ONE Literal node, not dim nodes
         d = _dot(F.col(vec_col), h)
         if round_dp is not None:
             d = F.round(d, round_dp)
@@ -130,15 +130,33 @@ def ivf_fit(
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
-def _cell_ranking(vec, centroids: list[tuple[int, list[float]]], nprobe: int) -> F.Column:
+def _cell_ranking(
+    vec, centroids: list[tuple[int, list[float]]], nprobe: int, vnorm=None
+) -> F.Column:
     """Array of the nprobe nearest centroid ids for ``vec`` — a single
     codegen'd projection with the centroids as literals (no join, no
     shuffle). Ties break to the smallest centroid id: structs sort by
-    (cos desc, -cid desc) == (cos desc, cid asc)."""
+    (cos desc, -cid desc) == (cos desc, cid asc).
+
+    Plan-size discipline: each centroid is ONE array Literal (not dim
+    literal nodes), centroid norms are Python-precomputed constants, and
+    the vector's own norm is computed once (``vnorm``) instead of once per
+    centroid — Catalyst analysis cost scales with expression-node count,
+    and the per-element-literal form made plan build dominate wall time.
+    Arithmetic is IEEE-identical to the naive form (same dot fold order,
+    same sqrt, same multiply order), so results are bit-equal."""
+    import math
+
+    if vnorm is None:
+        vnorm = _norm(vec)
     scored = F.array(
         *[
             F.struct(
-                F.round(cosine(vec, F.array(*[F.lit(v) for v in cvec])), 8).alias("cos"),
+                F.round(
+                    _dot(vec, F.lit(cvec))
+                    / (vnorm * F.lit(math.sqrt(sum(x * x for x in cvec)))),
+                    8,
+                ).alias("cos"),
                 F.lit(-cid).alias("neg_cid"),
             )
             for cid, cvec in centroids
@@ -175,21 +193,34 @@ def ivf_topk(
     the per-query top-k window over the candidate slice."""
     from pyspark.sql import Window
 
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col), F.col(vec_col).alias("cv"), "cell"
+    vnorm = _norm(F.col(vec_col))
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("cv"),
+        vnorm.alias("cvn"),
+        F.element_at(_cell_ranking(F.col(vec_col), centroids, 1, vnorm), 1).alias(
+            "cell"
+        ),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(_cell_ranking(F.col(vec_col), centroids, nprobe)).alias("cell"),
+        vnorm.alias("qvn"),
+        F.explode(_cell_ranking(F.col(vec_col), centroids, nprobe, vnorm)).alias(
+            "cell"
+        ),
     )
+    # norms ride the join as columns so the verify cosine is a single dot
+    # product per candidate — same IEEE result as cosine(qv, cv)
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qvn") * F.col("cvn")), 8
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
