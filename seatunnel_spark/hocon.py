@@ -292,7 +292,17 @@ class _Parser:
     def parse_quoted(self) -> str:
         assert self.peek() == '"'
         if self.s.startswith('"""', self.i):
-            raise HoconError("triple-quoted strings are not supported")
+            # triple-quoted: verbatim (no escapes), ends at the next """ —
+            # the reference's e2e configs use these for multi-line SQL bodies
+            end = self.s.find('"""', self.i + 3)
+            if end < 0:
+                raise HoconError("unterminated triple-quoted string")
+            # HOCON: extra trailing quotes belong to the content
+            while end + 3 < len(self.s) and self.s[end + 3] == '"':
+                end += 1
+            val = self.s[self.i + 3 : end]
+            self.i = end + 3
+            return val
         j = self.i + 1
         buf = []
         while j < len(self.s):

@@ -339,3 +339,31 @@ def test_config_udf_block_callable_from_sql(spark):
     with pytest.raises(ConfigError, match="cannot load"):
         run_job(spark, {"udf": {"X": {"module": "nope.nope", "function": "f"}},
                         "source": [], "sink": []})
+
+
+def test_hocon_triple_quoted_and_reference_corpus():
+    """Triple-quoted strings (multi-line SQL bodies in the reference's e2e
+    configs) parse verbatim; the full reference .conf corpus parses except
+    templates whose variables the e2e harness injects (those raise loudly)."""
+    import glob
+    import os
+
+    from seatunnel_spark.hocon import loads
+
+    d = loads('q = """SELECT *\nFROM t\nWHERE a = "x" """\nb = 1')
+    assert "FROM t" in d["q"] and d["b"] == 1
+
+    ref = "/root/reference/seatunnel-e2e"
+    if not os.path.isdir(ref):  # sandbox-only corpus check
+        return
+    files = sorted(glob.glob(f"{ref}/**/*.conf", recursive=True))
+    failed = []
+    for f in files:
+        try:
+            loads(open(f, encoding="utf-8", errors="replace").read(),
+                  env={"dynamic_test_row_num_per_parallelism": "10"})
+        except Exception as e:
+            failed.append((os.path.basename(f), str(e)[:60]))
+    # only the harness-variable templates may fail, and only on substitution
+    assert all("unresolved substitution" in m for _, m in failed), failed
+    assert len(failed) <= 2, failed
