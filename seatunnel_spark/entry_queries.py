@@ -1529,6 +1529,43 @@ def dedup_minhash_lsh_pairs_q(spark, sf_dir):
 
 
 @_reg(
+    "text_repetition_stats",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+    wc AS (SELECT doc_id, t, count(*) AS c
+           FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2),
+    wstats AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+                      max(c) AS top_c
+               FROM wc GROUP BY 1),
+    gc AS (SELECT doc_id, t, count(*) AS c
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(ws)),
+                                              i -> ws[i] || ' ' || ws[i + 1])) AS t
+                 FROM w) GROUP BY 1, 2),
+    gstats AS (SELECT doc_id, sum(c) AS n_g, count(*) AS n_g_distinct
+               FROM gc GROUP BY 1)
+    SELECT w.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(1 - n_distinct / n_words::DOUBLE, 6) AS dup_word_frac,
+           round(coalesce(1 - n_g_distinct / n_g::DOUBLE, 0.0), 6) AS dup_2gram_frac,
+           round(top_c / n_words::DOUBLE, 6) AS top_word_frac
+    FROM w JOIN wstats USING (doc_id) LEFT JOIN gstats ON gstats.doc_id = w.doc_id
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher/RefinedWeb repetition quality filters: duplicate-word,
+    duplicate-bigram, and top-word fractions per document — the standard
+    signals for degenerate/looping text. Two keyed aggregations, both
+    map-side combinable; document text never re-shuffles."""
+    from seatunnel_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
     "dedup_clusters",
     f"""
     WITH RECURSIVE

@@ -105,3 +105,56 @@ def pii_redact(df: DataFrame, col: str = "text") -> DataFrame:
         counts.append(n.cast("bigint").alias(f"n_{name}"))
         out = F.regexp_replace(out, pat, token)
     return df.select("*", out.alias("text_redacted"), *counts)
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """Within-document repetition signals — the Gopher/RefinedWeb quality
+    filters for catching degenerate (looping/boilerplate) documents:
+
+    - ``dup_word_frac``: 1 − distinct words / total words
+    - ``dup_2gram_frac``: 1 − distinct word-bigrams / total bigrams
+    - ``top_word_frac``: occurrences of the most frequent word / total words
+
+    Shape at scale: one explode + one groupBy(doc_id, token) + one
+    groupBy(doc_id) — both aggregations are keyed by doc so they partially
+    combine map-side and shuffle only narrow (id, token-hash, count) rows;
+    document text itself never re-shuffles. Returns one row per document:
+    (doc_id, n_words, dup_word_frac, dup_2gram_frac, top_word_frac)."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), " ")
+    base = df.select(F.col(id_col), words.alias("w"))
+    grams = base.select(
+        id_col,
+        F.col("w"),
+        F.zip_with(
+            F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+            F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ).alias("g2"),
+    )
+    wstats = (
+        grams.select(id_col, F.explode("w").alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    gstats = (
+        grams.select(id_col, F.explode("g2").alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_g"), F.count("*").alias("n_g_distinct"))
+    )
+    return wstats.join(gstats, id_col, "left").select(
+        id_col,
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(1 - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(1 - F.col("n_g_distinct") / F.col("n_g"), F.lit(0.0)), 6
+        ).alias("dup_2gram_frac"),
+        F.round(F.col("top_c") / F.col("n_words"), 6).alias("top_word_frac"),
+    )

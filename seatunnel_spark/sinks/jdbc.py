@@ -95,7 +95,61 @@ class PostgresDialect(AnsiMergeDialect):
         return stmt
 
 
-DIALECTS = {d.name: d() for d in (AnsiMergeDialect, MySqlDialect, PostgresDialect)}
+class OracleDialect(AnsiMergeDialect):
+    """MERGE INTO ... USING (...) ON (...) — OracleDialect.getUpsertStatement
+    (reference binds :field rows from a buffer; here the staged table IS the
+    USING source, same statement shape set-based). Oracle requires the ON
+    condition parenthesized and has no table alias AS keyword."""
+
+    name = "oracle"
+
+    def upsert_from_staging(self, target, staging, cols, key):
+        qc = self.q
+        on = " AND ".join(f"t.{qc(k)} = s.{qc(k)}" for k in key)
+        non_key = [c for c in cols if c not in key]
+        sets = ", ".join(f"t.{qc(c)} = s.{qc(c)}" for c in non_key)
+        ins_cols = ", ".join(qc(c) for c in cols)
+        ins_vals = ", ".join(f"s.{qc(c)}" for c in cols)
+        stmt = f"MERGE INTO {target} t USING {staging} s ON ({on})"
+        if sets:
+            stmt += f" WHEN MATCHED THEN UPDATE SET {sets}"
+        stmt += f" WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        return stmt
+
+
+class SqlServerDialect(AnsiMergeDialect):
+    """MERGE with bracket quoting and the mandatory terminating semicolon
+    (SqlServerDialect.getUpsertStatement)."""
+
+    name = "sqlserver"
+
+    def q(self, ident: str) -> str:
+        return "[" + ident.replace("]", "]]") + "]"
+
+    def upsert_from_staging(self, target, staging, cols, key):
+        qc = self.q
+        on = " AND ".join(f"[t].{qc(k)} = [s].{qc(k)}" for k in key)
+        non_key = [c for c in cols if c not in key]
+        sets = ", ".join(f"[t].{qc(c)} = [s].{qc(c)}" for c in non_key)
+        ins_cols = ", ".join(qc(c) for c in cols)
+        ins_vals = ", ".join(f"[s].{qc(c)}" for c in cols)
+        stmt = f"MERGE INTO {target} AS [t] USING {staging} AS [s] ON ({on})"
+        if sets:
+            stmt += f" WHEN MATCHED THEN UPDATE SET {sets}"
+        stmt += f" WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals});"
+        return stmt
+
+
+DIALECTS = {
+    d.name: d()
+    for d in (
+        AnsiMergeDialect,
+        MySqlDialect,
+        PostgresDialect,
+        OracleDialect,
+        SqlServerDialect,
+    )
+}
 
 
 def jdbc_upsert_write(

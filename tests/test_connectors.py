@@ -242,6 +242,12 @@ def test_jdbc_dialect_sql_text():
     assert " new" not in my.lower()  # NEW is reserved in MySQL 8
     pg = DIALECTS["postgres"].upsert_from_staging("t", "t_stage", cols, key)
     assert 'ON CONFLICT ("id")' in pg and 'DO UPDATE SET "name" = EXCLUDED."name"' in pg
+    ora = DIALECTS["oracle"].upsert_from_staging("t", "t_stage", cols, key)
+    assert ora.startswith("MERGE INTO t t USING t_stage s ON (")
+    assert 'UPDATE SET t."name" = s."name"' in ora and not ora.endswith(";")
+    ms = DIALECTS["sqlserver"].upsert_from_staging("t", "t_stage", cols, key)
+    assert "AS [t] USING t_stage AS [s] ON ([t].[id] = [s].[id])" in ms
+    assert ms.endswith(";")  # SQL Server MERGE requires the terminator
     ansi = DIALECTS["ansi"].upsert_from_staging("t", "t_stage", cols, key)
     assert ansi.startswith("MERGE INTO t t USING t_stage s ON") and "WHEN NOT MATCHED" in ansi
     # key-only tables: no UPDATE clause in ANSI merge

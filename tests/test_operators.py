@@ -344,3 +344,24 @@ def test_dup_clusters_connected_components(spark):
         10: (10, True), 11: (10, False), 12: (10, False),
         20: (20, True), 21: (20, False),
     }
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one word repeated: max repetition
+            (2, "a b c d"),            # all distinct: zero repetition
+            (3, "a b a b a b"),        # looping bigram "a b"
+            (4, "solo"),               # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert got[1]["dup_word_frac"] == 0.75 and got[1]["top_word_frac"] == 1.0
+    assert got[1]["dup_2gram_frac"] == round(1 - 1 / 3, 6)  # "a a" x3
+    assert got[2]["dup_word_frac"] == 0.0 and got[2]["dup_2gram_frac"] == 0.0
+    assert got[2]["top_word_frac"] == 0.25
+    assert got[3]["dup_word_frac"] == round(1 - 2 / 6, 6)
+    # bigrams of doc 3: "a b" x3, "b a" x2 -> 1 - 2/5
+    assert got[3]["dup_2gram_frac"] == round(1 - 2 / 5, 6)
+    assert got[4]["n_words"] == 1 and got[4]["dup_2gram_frac"] == 0.0
