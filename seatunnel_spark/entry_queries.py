@@ -1566,6 +1566,70 @@ def text_repetition_stats(spark, sf_dir):
 
 
 @_reg(
+    "corpus_clean",
+    f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+              UNION SELECT doc_b, doc_a FROM verified),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    non_canon AS (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(lbl)
+    ),
+    w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+    wc AS (SELECT doc_id, t, count(*) AS c
+           FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2),
+    wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                      round(1 - count(*) / sum(c)::DOUBLE, 6) AS dup_word_frac,
+                      round(max(c) / sum(c)::DOUBLE, 6) AS top_word_frac
+               FROM wc GROUP BY 1)
+    SELECT d.doc_id, d.lang, d.source, s.n_words, s.dup_word_frac
+    FROM documents d JOIN wstats s USING (doc_id)
+    WHERE d.n_chars >= 150 AND s.n_words >= 30
+      AND s.dup_word_frac <= 0.6 AND s.top_word_frac <= 0.12
+      AND d.doc_id NOT IN (SELECT doc_id FROM non_canon)
+    """,
+)
+def corpus_clean(spark, sf_dir):
+    """The full training-data cleaning pipeline as ONE composed plan:
+    quality gate (length + word count) ∧ repetition gate (Gopher dup-word /
+    top-word fractions) ∧ near-dup canonicalization (only each LSH cluster's
+    min-id member survives). Everything is the already-tested operators
+    composed — filters are codegen'd, the dedup anti-join is against the
+    tiny non-canonical id set, and the only wide work is the keyed
+    aggregations and the capped LSH candidate join."""
+    from seatunnel_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_stats(docs)
+    pairs = dedup_docs.minhash_lsh_pairs(docs, k=16, bands=4, max_bucket=10)
+    verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
+    non_canon = (
+        dedup_docs.dup_clusters(verified)
+        .where(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(rep, "doc_id")
+        .where(
+            (F.col("n_chars") >= 150)
+            & (F.col("n_words") >= 30)
+            & (F.col("dup_word_frac") <= 0.6)
+            & (F.col("top_word_frac") <= 0.12)
+        )
+        .join(non_canon, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_words", "dup_word_frac")
+    )
+
+
+@_reg(
     "dedup_clusters",
     f"""
     WITH RECURSIVE

@@ -189,6 +189,26 @@ class IcebergSqlBackend:
             f"retain_last => {retain_last})"
         )
 
+    def time_travel_sql(self, snapshot_id: int | None = None, as_of: str | None = None) -> str:
+        """Read-path parity with LakeTable.scan(snapshot_id=): Spark SQL
+        time travel over Iceberg (VERSION AS OF / TIMESTAMP AS OF)."""
+        if (snapshot_id is None) == (as_of is None):
+            raise ValueError("pass exactly one of snapshot_id / as_of")
+        if snapshot_id is not None:
+            return f"SELECT * FROM {self.target} VERSION AS OF {int(snapshot_id)}"
+        return f"SELECT * FROM {self.target} TIMESTAMP AS OF TIMESTAMP '{as_of}'"
+
+    def changes_read_options(self, start_snapshot_id: int, end_snapshot_id: int | None = None) -> dict:
+        """Incremental-read parity with LakeTable.changes_between (the
+        IcebergStreamSplitEnumerator surface): the DataFrameReader options a
+        real catalog takes — ``spark.read.format("iceberg")
+        .options(**these).load(target)`` returns only rows appended in
+        (start, end]."""
+        opts = {"start-snapshot-id": str(int(start_snapshot_id))}
+        if end_snapshot_id is not None:
+            opts["end-snapshot-id"] = str(int(end_snapshot_id))
+        return opts
+
     # ------------------------------------------------------- execution path
     def merge_into(self, batch, epoch_id: str) -> dict:
         """LWW-reduce the micro-batch (same shared reducer as the LakeTable

@@ -168,3 +168,23 @@ def test_config_switch_iceberg_dry_run(spark):
     assert out["dry_run"] is True
     assert "PARTITIONED BY (bucket(8, repo))" in out["create_sql"]
     assert "WHEN MATCHED AND s.op = 'D' AND s.seq >= t._seq THEN DELETE" in out["merge_sql"]
+
+
+def test_read_path_sql_text():
+    """Time travel + incremental read surface (LakeTable.scan(snapshot_id=)
+    and changes_between parity on a real catalog)."""
+    import pytest
+
+    b = _backend()
+    assert b.time_travel_sql(snapshot_id=42) == (
+        "SELECT * FROM lake.db.repos VERSION AS OF 42"
+    )
+    assert b.time_travel_sql(as_of="2026-08-01 00:00:00") == (
+        "SELECT * FROM lake.db.repos TIMESTAMP AS OF TIMESTAMP '2026-08-01 00:00:00'"
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        b.time_travel_sql()
+    assert b.changes_read_options(7) == {"start-snapshot-id": "7"}
+    assert b.changes_read_options(7, 9) == {
+        "start-snapshot-id": "7", "end-snapshot-id": "9",
+    }
