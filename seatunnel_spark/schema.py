@@ -330,8 +330,28 @@ def parse_alter_sql(sql: str) -> SchemaChange:
                 return t.lower()
             t = t2
 
-    def one(clause: str) -> SchemaChange:
+    # clauses that change no column: indexes/keys/constraints/table options.
+    # The reference resolves DDL into column events only (AlterTable*Column
+    # Event) and ignores the rest — an ADD INDEX in the binlog must NOT kill
+    # the stream. Matched clauses are dropped; if nothing remains the whole
+    # statement is a no-op batch (update_schema commits nothing).
+    _IGNORABLE = re.compile(
+        r"(?is)^("
+        r"ADD\s+(UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?(INDEX|KEY)\b"
+        r"|ADD\s+(CONSTRAINT\b.*|PRIMARY\s+KEY\b.*|FOREIGN\s+KEY\b.*)"
+        r"|DROP\s+(INDEX|KEY|PRIMARY\s+KEY|FOREIGN\s+KEY|CONSTRAINT)\b"
+        r"|RENAME\s+(INDEX|KEY)\b"
+        r"|ALTER\s+(INDEX|COLUMN\s+\S+\s+SET\s+DEFAULT|COLUMN\s+\S+\s+DROP\s+DEFAULT)\b"
+        r"|(DEFAULT\s+)?(CHARACTER\s+SET|CHARSET|COLLATE)\b"
+        r"|ENGINE\s*=|AUTO_INCREMENT\s*=|COMMENT\s*=|ROW_FORMAT\s*=|ORDER\s+BY\b"
+        r"|ENABLE\s+KEYS|DISABLE\s+KEYS|FORCE$|LOCK\s*=|ALGORITHM\s*="
+        r")"
+    )
+
+    def one(clause: str) -> SchemaChange | None:
         c = clause.strip()
+        if _IGNORABLE.match(c):
+            return None
         cm = re.match(r"(?is)^ADD\s+(?:COLUMN\s+)?(\S+)\s+(.+)$", c)
         if cm:
             return SchemaChange(kind="add_column", name=ident(cm.group(1)),
@@ -374,11 +394,18 @@ def parse_alter_sql(sql: str) -> SchemaChange:
             start = i + 1
     clauses.append(rest[start:])
     parsed = [one(c) for c in clauses if c.strip()]
-    if len(parsed) == 1:
+    n_ignored = sum(1 for p in parsed if p is None)
+    parsed = [p for p in parsed if p is not None]
+    if not parsed:
+        # all clauses were index/option noise → explicit no-op
+        return SchemaChange(kind="batch", changes=())
+    if len(parsed) == 1 and n_ignored == 0:
         return parsed[0]
     flat: list[SchemaChange] = []
     for p in parsed:
         if p.kind == "rename_table":
-            raise ValueError("RENAME table cannot be batched with column clauses")
+            if len(parsed) > 1:
+                raise ValueError("RENAME table cannot be batched with column clauses")
+            return p
         flat.extend(p.changes if p.kind == "batch" else (p,))
-    return SchemaChange(kind="batch", changes=tuple(flat))
+    return flat[0] if len(flat) == 1 else SchemaChange(kind="batch", changes=tuple(flat))

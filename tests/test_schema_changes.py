@@ -307,8 +307,9 @@ def test_parse_alter_sql():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not an ALTER"):
         parse_alter_sql("CREATE TABLE t (x int)")
-    with _pytest.raises(ValueError, match="unsupported ALTER clause"):
-        parse_alter_sql("ALTER TABLE t ENGINE=InnoDB")
+    # table-option DDL is a no-op (r3: index/option clauses are ignorable)
+    c = parse_alter_sql("ALTER TABLE t ENGINE=InnoDB")
+    assert c.kind == "batch" and c.changes == ()
 
 
 def test_parsed_alter_applies_to_lake(spark, table):
@@ -399,3 +400,64 @@ def test_change_varchar_restatement_applies_to_lake(spark, table):
     assert fields["commit_sha"] == "string"  # lattice spelling stored, not varchar
     got = {r["path"]: r for r in table.scan(spark).collect()}
     assert got["a.py"]["commit_sha"] == "c1"
+
+
+def test_index_and_option_ddl_clauses_are_ignored():
+    """Binlog DDL is full of non-column clauses (ADD INDEX, DROP KEY,
+    ENGINE=...); the reference resolves only column events — such
+    statements must parse to no-ops, never kill the stream."""
+    from seatunnel_spark.schema import parse_alter_sql
+
+    c = parse_alter_sql("ALTER TABLE t ADD INDEX idx_lang (lang)")
+    assert c.kind == "batch" and c.changes == ()
+    c = parse_alter_sql("ALTER TABLE t DROP PRIMARY KEY, ENGINE=InnoDB")
+    assert c.kind == "batch" and c.changes == ()
+    c = parse_alter_sql(
+        "ALTER TABLE t ADD COLUMN stars INT, ADD UNIQUE KEY uk (stars), "
+        "DEFAULT CHARACTER SET utf8mb4"
+    )
+    assert (c.kind, c.name, c.type) == ("add_column", "stars", "int")
+    c = parse_alter_sql(
+        "ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (x) REFERENCES o(id), "
+        "DROP COLUMN lang"
+    )
+    assert (c.kind, c.name) == ("drop_column", "lang")
+    # truly unknown clauses still fail loudly
+    import pytest
+    with pytest.raises(ValueError, match="unsupported ALTER clause"):
+        parse_alter_sql("ALTER TABLE t PARTITION BY HASH(id)")
+
+
+def test_index_ddl_through_canal_stream_is_noop(spark, tmp_path):
+    """e2e: an isDdl envelope carrying ADD INDEX flows through the stream
+    as a no-op — DML before and after still applies."""
+    import os
+
+    from seatunnel_spark.schema import repo_schema
+    from seatunnel_spark.streaming.job import CdcIngestJob
+
+    lines = [
+        json.dumps({"data": [{"repo": "o/r", "path": "a.py", "commit": "c1",
+                              "lang": "py", "content": "v1"}],
+                    "old": None, "type": "INSERT", "table": "repos", "ts": 1}),
+        json.dumps({"data": None, "old": None, "type": "ALTER", "table": "repos",
+                    "ts": 2, "isDdl": True,
+                    "sql": "ALTER TABLE repos ADD INDEX idx_lang (lang)"}),
+        json.dumps({"data": [{"repo": "o/r", "path": "a.py", "commit": "c2",
+                              "lang": "py", "content": "v2"}],
+                    "old": None, "type": "UPDATE", "table": "repos", "ts": 3}),
+    ]
+    topic = str(tmp_path / "topic")
+    os.makedirs(topic)
+    with open(os.path.join(topic, "p0.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    root = str(tmp_path / "t")
+    LakeTable.create(root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    job = CdcIngestJob(spark, root, topic, str(tmp_path / "c"), num_buckets=2,
+                       wire_format="canal-json", wire_row_schema=repo_schema())
+    job.run_incremental(available_now=True, timeout_s=300)
+    t = LakeTable.load(root)
+    got = {r["path"]: r["content"] for r in t.scan(spark).collect()}
+    assert got == {"a.py": "v2"}
+    # schema unchanged: no spurious version bump from the no-op DDL
+    assert [f["name"] for f in t.schema_fields()] == [n for n, _ in REPO_FIELDS]
