@@ -290,6 +290,89 @@ def register_config_udf(spark: SparkSession, name: str, spec: dict) -> None:
     spark.udf.register(name, fn)
 
 
+def _run_cdc_streaming_job(spark: SparkSession, config: dict) -> dict[str, dict]:
+    """The reference's primary UX — a streaming CDC .conf (mysqlcdc_to_*.conf
+    shape) — mapped onto CdcIngestJob: one ``CdcChangelog`` source block (a
+    changelog topic directory in a queue wire format, or the native typed
+    parquet log) streaming into one ``LakeTable`` sink block with
+    exactly-once epochs, checkpoint/restore, DDL evolution, lineage and
+    metrics — everything the engine path has, driven purely from config.
+
+        env    { job.mode = "STREAMING" }
+        source { CdcChangelog { topic_dir = "...", format = "canal-json",
+                                schema { fields { repo = string, ... } } } }
+        sink   { LakeTable { root = "...", primary_keys = [repo, path],
+                             checkpoint_dir = "..." } }
+
+    availableNow semantics (StopMode LATEST): the call drains the current
+    log and returns; rerunning resumes from the checkpoint."""
+    from seatunnel_spark.schema import sqltype_to_spark
+    from seatunnel_spark.streaming.job import CdcIngestJob
+
+    sources = [b for b in (config.get("source") or [])
+               if b.get("plugin") in ("CdcChangelog", "Cdc")]
+    sinks = [b for b in (config.get("sink") or []) if b.get("plugin") == "LakeTable"]
+    if len(sources) != 1 or len(sinks) != 1:
+        raise ConfigError(
+            "a CDC streaming job needs exactly one CdcChangelog source and "
+            "one LakeTable sink"
+        )
+    if config.get("transform"):
+        raise ConfigError(
+            "transforms on the CDC path are not supported from config — the "
+            "changelog already carries typed rows (use the batch pipeline "
+            "for ELT transforms)"
+        )
+    src, sink = sources[0], sinks[0]
+    wire = src.get("format", "parquet-events")
+    row_schema = None
+    if wire != "parquet-events":
+        fields = (src.get("schema") or {}).get("fields") or {}
+        if not fields:
+            raise ConfigError("CdcChangelog with a queue format needs schema.fields")
+        from pyspark.sql import types as T
+
+        row_schema = T.StructType(
+            [T.StructField(n, sqltype_to_spark(t), True) for n, t in fields.items()]
+        )
+        table_fields = [(n, t.strip().lower()) for n, t in fields.items()]
+    else:
+        from seatunnel_spark.schema import REPO_FIELDS
+
+        table_fields = REPO_FIELDS
+    key = sink["primary_keys"]
+    from seatunnel_spark.lake.table import LakeTable
+
+    num_buckets = int(sink.get("num_buckets", 16))
+    if not LakeTable.exists(sink["root"]):
+        LakeTable.create(sink["root"], table_fields, key, num_buckets)
+    job = CdcIngestJob(
+        spark,
+        table_root=sink["root"],
+        events_dir=src["topic_dir"],
+        checkpoint_dir=sink.get("checkpoint_dir") or f"{sink['root']}_ckpt",
+        num_buckets=num_buckets,
+        wire_format=wire,
+        wire_row_schema=row_schema,
+    )
+    job.run_incremental(
+        available_now=True,
+        timeout_s=float(config.get("env", {}).get("job.timeout.s", 600)),
+        start_ts=src.get("start_ts"),
+        stop_ts=src.get("stop_ts"),
+    )
+    table = LakeTable.load(sink["root"])
+    return {
+        "LakeTable#0": {
+            "written": True,
+            "rows": table.scan(spark).count(),
+            "version": table.version,
+            "metrics_dir": job.metrics_dir,
+            "lineage_dir": job.lineage_dir,
+        }
+    }
+
+
 def run_job(spark: SparkSession, config: dict) -> dict[str, dict]:
     """Execute a BATCH job config: sources register named tables, transforms
     chain through source/result table names, every sink consumes its named
@@ -303,6 +386,9 @@ def run_job(spark: SparkSession, config: dict) -> dict[str, dict]:
     ZetaUDF.java): the classpath entry becomes an import path."""
     for name, spec in (config.get("udf") or {}).items():
         register_config_udf(spark, name, spec)
+    sources = config.get("source") or []
+    if any(b.get("plugin") in ("CdcChangelog", "Cdc") for b in sources):
+        return _run_cdc_streaming_job(spark, config)
     tables: dict[str, DataFrame] = {}
     last: str | None = None
     for block in config.get("source") or []:

@@ -367,3 +367,64 @@ def test_hocon_triple_quoted_and_reference_corpus():
     # only the harness-variable templates may fail, and only on substitution
     assert all("unresolved substitution" in m for _, m in failed), failed
     assert len(failed) <= 2, failed
+
+
+def test_cdc_streaming_job_from_conf(spark, tmp_path):
+    """The reference's primary UX — a streaming CDC .conf — runs the full
+    exactly-once ingest engine from config alone: canal changelog topic →
+    LakeTable with LWW merge, DDL evolution, checkpoint resume."""
+    import json as _json
+    import os
+
+    from seatunnel_spark.hocon import load_job_config
+    from seatunnel_spark.lake import LakeTable
+
+    lines = [
+        _json.dumps({"data": [{"repo": "o/r", "path": "a.py", "commit": "c1",
+                               "lang": "py", "content": "v1"}],
+                     "old": None, "type": "INSERT", "table": "repos", "ts": 1}),
+        _json.dumps({"data": [{"repo": "o/r", "path": "b.py", "commit": "c2",
+                               "lang": "py", "content": "v2"}],
+                     "old": None, "type": "INSERT", "table": "repos", "ts": 2}),
+        _json.dumps({"data": [{"repo": "o/r", "path": "a.py", "commit": "c3",
+                               "lang": "py", "content": "v3"}],
+                     "old": None, "type": "UPDATE", "table": "repos", "ts": 3}),
+        _json.dumps({"data": [{"repo": "o/r", "path": "b.py", "commit": None,
+                               "lang": None, "content": None}],
+                     "old": None, "type": "DELETE", "table": "repos", "ts": 4}),
+    ]
+    topic = str(tmp_path / "topic")
+    os.makedirs(topic)
+    with open(os.path.join(topic, "p0.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    conf = f'''
+    env {{ job.mode = "STREAMING" }}
+    source {{
+      CdcChangelog {{
+        topic_dir = "{topic}"
+        format = "canal-json"
+        schema {{ fields {{ repo = string, path = string, commit = string,
+                            lang = string, content = string }} }}
+      }}
+    }}
+    sink {{
+      LakeTable {{
+        root = "{tmp_path / 'lake'}"
+        primary_keys = [repo, path]
+        num_buckets = 2
+        checkpoint_dir = "{tmp_path / 'ckpt'}"
+      }}
+    }}
+    '''
+    cfg = load_job_config(conf)
+    res = run_job(spark, cfg)["LakeTable#0"]
+    assert res["rows"] == 1  # a.py updated, b.py deleted
+    t = LakeTable.load(str(tmp_path / "lake"))
+    got = {r["path"]: r["content"] for r in t.scan(spark).collect()}
+    assert got == {"a.py": "v3"}
+    v = t.version
+
+    # rerun the same conf: checkpoint resume, no double-apply
+    res2 = run_job(spark, cfg)["LakeTable#0"]
+    assert res2["version"] == v and res2["rows"] == 1
