@@ -63,7 +63,14 @@ class MultiTableRouter:
     def apply_batch(self, batch: DataFrame, batch_id: int) -> dict[str, dict]:
         """One idempotent merge per destination table; unknown table ids are
         counted and skipped (the reference drops rows for unconfigured
-        tables). Returns per-table merge stats."""
+        tables). Returns per-table merge stats.
+
+        DDL events (op='DDL') in the stream are routed to their table's
+        update_schema at the correct offset: each table's slice is split at
+        its DDL seqs into ordered sub-transactions exactly like the
+        single-table job (half-open (prev, next] segments, deterministic
+        epoch ids) — a DDL row must NEVER reach a merge, where its null key
+        would land as a junk row."""
         results: dict[str, dict] = {}
         land = None
         if self.landing_dir is not None and len(self.tables) >= self.landing_threshold:
@@ -78,14 +85,53 @@ class MultiTableRouter:
                 slice_df = batch.where(
                     F.col(self.table_col) == name
                 ).drop(self.table_col)
-            results[name] = merge_into(
-                self.spark, table, slice_df,
-                epoch_id=f"b{batch_id}.t.{name}",
-                collect_stats=False,
-            )
+            results[name] = self._apply_table_slice(table, slice_df, batch_id, name)
         if land is not None:
             shutil.rmtree(land, ignore_errors=True)
         return results
+
+    def _apply_table_slice(
+        self, table, slice_df: DataFrame, batch_id: int, name: str
+    ) -> dict:
+        from seatunnel_spark.schema import parse_change
+        from seatunnel_spark.streaming.job import project_to_table_schema
+
+        has_ddl_col = "ddl" in slice_df.columns
+        if not has_ddl_col:
+            return merge_into(
+                self.spark, table, slice_df,
+                epoch_id=f"b{batch_id}.t.{name}", collect_stats=False,
+            )
+        is_ddl = F.col("op") == "DDL"
+        ddls = sorted(
+            (r["seq"], r["ddl"])
+            for r in slice_df.where(is_ddl).select("seq", "ddl").collect()
+            if r["ddl"] is not None
+        )
+        dml = slice_df.where(~is_ddl)
+        if not ddls:
+            return merge_into(
+                self.spark, table, project_to_table_schema(table, dml),
+                epoch_id=f"b{batch_id}.t.{name}", collect_stats=False,
+            )
+        bounds = [None] + [s for s, _ in ddls] + [None]
+        last = {}
+        for i in range(len(ddls) + 1):
+            seg = dml
+            if bounds[i] is not None:
+                seg = seg.where(F.col("seq") > bounds[i])
+            if bounds[i + 1] is not None:
+                seg = seg.where(F.col("seq") <= bounds[i + 1])
+            last = merge_into(
+                self.spark, table, project_to_table_schema(table, seg),
+                epoch_id=f"b{batch_id}.t.{name}.s{i}", collect_stats=False,
+            )
+            if i < len(ddls):
+                s, payload = ddls[i]
+                table.update_schema(
+                    parse_change(payload), epoch_id=f"b{batch_id}.t.{name}.d{s}.{i}"
+                )
+        return last
 
     def run_stream(self, stream: DataFrame, checkpoint_dir: str,
                    available_now: bool = True, timeout_s: float | None = None):

@@ -159,3 +159,54 @@ def test_landing_zone_partitionBy_prunes_by_directory(spark, tmp_path):
     router.apply_batch(batch, 0)
     t1.refresh(); t2.refresh()
     assert (t1.version, t2.version) == (v1, v2)
+
+
+def test_multi_table_ddl_routes_to_its_own_table(spark, tmp_path):
+    """A DDL envelope in a multi-table stream must become a schema commit on
+    ITS table at the right offset — never a junk data row (its null key) and
+    never a change to the other tables."""
+    import json as _json
+    import os
+
+    from seatunnel_spark.schema import repo_schema
+    from seatunnel_spark.sources.queue import read_changelog_stream
+
+    topic_dir = str(tmp_path / "topic")
+    os.makedirs(topic_dir)
+    lines = [
+        _json.dumps({"data": [{"repo": "o/r", "path": "a.py", "commit": "c1",
+                               "lang": "py", "content": "v1"}],
+                     "old": None, "type": "INSERT", "table": "alpha", "ts": 1}),
+        _json.dumps({"data": [{"repo": "o/r", "path": "b.py", "commit": "c2",
+                               "lang": "py", "content": "v2"}],
+                     "old": None, "type": "INSERT", "table": "beta", "ts": 2}),
+        _json.dumps({"data": None, "old": None, "type": "ALTER", "table": "alpha",
+                     "ts": 3, "isDdl": True,
+                     "sql": "ALTER TABLE alpha ADD COLUMN stars INT"}),
+        _json.dumps({"data": [{"repo": "o/r", "path": "a.py", "commit": "c3",
+                               "lang": "py", "content": "v3"}],
+                     "old": None, "type": "UPDATE", "table": "alpha", "ts": 4}),
+    ]
+    with open(os.path.join(topic_dir, "p0.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    tables = {
+        name: LakeTable.create(str(tmp_path / name), REPO_FIELDS, REPO_KEY,
+                               num_buckets=2)
+        for name in ("alpha", "beta")
+    }
+    stream = read_changelog_stream(
+        spark, topic_dir, "canal-json", repo_schema(), keep_table=True
+    )
+    router = MultiTableRouter(spark, tables)
+    router.run_stream(stream, str(tmp_path / "ckpt"), available_now=True,
+                      timeout_s=300)
+
+    a = LakeTable.load(str(tmp_path / "alpha"))
+    b = LakeTable.load(str(tmp_path / "beta"))
+    assert "stars" in [f["name"] for f in a.schema_fields()]   # DDL landed
+    assert "stars" not in [f["name"] for f in b.schema_fields()]  # only on alpha
+    got_a = {r["path"]: r["content"] for r in a.scan(spark).collect()}
+    got_b = {r["path"]: r["content"] for r in b.scan(spark).collect()}
+    assert got_a == {"a.py": "v3"}   # no junk null-key row, update applied
+    assert got_b == {"b.py": "v2"}
