@@ -311,12 +311,15 @@ def _run_cdc_streaming_job(spark: SparkSession, config: dict) -> dict[str, dict]
 
     sources = [b for b in (config.get("source") or [])
                if b.get("plugin") in ("CdcChangelog", "Cdc")]
-    sinks = [b for b in (config.get("sink") or []) if b.get("plugin") == "LakeTable"]
+    sinks = [b for b in (config.get("sink") or [])
+             if b.get("plugin") in ("LakeTable", "MultiLakeTable")]
     if len(sources) != 1 or len(sinks) != 1:
         raise ConfigError(
             "a CDC streaming job needs exactly one CdcChangelog source and "
-            "one LakeTable sink"
+            "one LakeTable (or MultiLakeTable) sink"
         )
+    if sinks[0].get("plugin") == "MultiLakeTable":
+        return _run_multi_table_streaming_job(spark, config, sources[0], sinks[0])
     if config.get("transform"):
         raise ConfigError(
             "transforms on the CDC path are not supported from config — the "
@@ -371,6 +374,72 @@ def _run_cdc_streaming_job(spark: SparkSession, config: dict) -> dict[str, dict]
             "lineage_dir": job.lineage_dir,
         }
     }
+
+
+def _run_multi_table_streaming_job(
+    spark: SparkSession, config: dict, src: dict, sink: dict
+) -> dict[str, dict]:
+    """One changelog topic → many destination tables (the reference's
+    MultipleRowType / kafka-topic-to-many-tables scenario) from config::
+
+        sink {
+          MultiLakeTable {
+            roots { alpha = "/lake/alpha", beta = "/lake/beta" }
+            primary_keys = [repo, path]
+            checkpoint_dir = "/ckpt"
+            landing_dir = "/land"        # optional: partitionBy(_table) zone
+          }
+        }
+
+    Envelope table ids route each row (and each DDL, at its offset) to its
+    own LakeTable with per-(batch, table) epochs — MultiTableRouter
+    semantics, config-driven."""
+    from pyspark.sql import types as T
+
+    from seatunnel_spark.lake.table import LakeTable
+    from seatunnel_spark.schema import sqltype_to_spark
+    from seatunnel_spark.sources.queue import read_changelog_stream
+    from seatunnel_spark.streaming.multi_table import MultiTableRouter
+
+    wire = src.get("format")
+    fields = (src.get("schema") or {}).get("fields") or {}
+    if not wire or not fields:
+        raise ConfigError("MultiLakeTable needs a queue-format CdcChangelog "
+                          "source with schema.fields")
+    row_schema = T.StructType(
+        [T.StructField(n, sqltype_to_spark(t), True) for n, t in fields.items()]
+    )
+    table_fields = [(n, t.strip().lower()) for n, t in fields.items()]
+    key = sink["primary_keys"]
+    roots = sink.get("roots") or {}
+    if not roots:
+        raise ConfigError("MultiLakeTable needs a roots { name = path } block")
+    num_buckets = int(sink.get("num_buckets", 16))
+    tables = {}
+    for name, root in roots.items():
+        if not LakeTable.exists(root):
+            LakeTable.create(root, table_fields, key, num_buckets)
+        tables[name] = LakeTable.load(root)
+    router = MultiTableRouter(
+        spark, tables,
+        landing_dir=sink.get("landing_dir"),
+        landing_threshold=int(sink.get("landing_threshold", 8)),
+    )
+    stream = read_changelog_stream(
+        spark, src["topic_dir"], wire, row_schema, keep_table=True
+    )
+    ckpt = sink.get("checkpoint_dir")
+    if not ckpt:
+        raise ConfigError("MultiLakeTable needs checkpoint_dir")
+    router.run_stream(
+        stream, ckpt, available_now=True,
+        timeout_s=float(config.get("env", {}).get("job.timeout.s", 600)),
+    )
+    out = {}
+    for name, t in tables.items():
+        t.refresh()
+        out[name] = {"rows": t.scan(spark).count(), "version": t.version}
+    return {"MultiLakeTable#0": out}
 
 
 def run_job(spark: SparkSession, config: dict) -> dict[str, dict]:

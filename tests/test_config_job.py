@@ -428,3 +428,54 @@ def test_cdc_streaming_job_from_conf(spark, tmp_path):
     # rerun the same conf: checkpoint resume, no double-apply
     res2 = run_job(spark, cfg)["LakeTable#0"]
     assert res2["version"] == v and res2["rows"] == 1
+
+
+def test_multi_table_streaming_job_from_conf(spark, tmp_path):
+    """One topic -> many tables from config: MultiLakeTable sink routes by
+    envelope table id with per-(batch, table) epochs."""
+    import json as _json
+    import os
+
+    from seatunnel_spark.hocon import load_job_config
+    from seatunnel_spark.lake import LakeTable
+
+    topic = str(tmp_path / "topic")
+    os.makedirs(topic)
+    lines = []
+    for i in range(10):
+        tbl = "alpha" if i % 2 == 0 else "beta"
+        lines.append(_json.dumps({
+            "data": [{"repo": "o/r", "path": f"p{i}.py", "commit": f"c{i}",
+                      "lang": "py", "content": f"v{i}"}],
+            "old": None, "type": "INSERT", "table": tbl, "ts": i,
+        }))
+    with open(os.path.join(topic, "p0.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    conf = f'''
+    env {{ job.mode = "STREAMING" }}
+    source {{
+      CdcChangelog {{
+        topic_dir = "{topic}"
+        format = "canal-json"
+        schema {{ fields {{ repo = string, path = string, commit = string,
+                            lang = string, content = string }} }}
+      }}
+    }}
+    sink {{
+      MultiLakeTable {{
+        roots {{ alpha = "{tmp_path / 'alpha'}", beta = "{tmp_path / 'beta'}" }}
+        primary_keys = [repo, path]
+        num_buckets = 2
+        checkpoint_dir = "{tmp_path / 'ckpt'}"
+      }}
+    }}
+    '''
+    cfg = load_job_config(conf)
+    res = run_job(spark, cfg)["MultiLakeTable#0"]
+    assert res["alpha"]["rows"] == 5 and res["beta"]["rows"] == 5
+    a = LakeTable.load(str(tmp_path / "alpha"))
+    assert {r["path"] for r in a.scan(spark).collect()} == {f"p{i}.py" for i in (0, 2, 4, 6, 8)}
+    # rerun: checkpoint resume, no double-apply
+    res2 = run_job(spark, cfg)["MultiLakeTable#0"]
+    assert res2["alpha"]["version"] == res["alpha"]["version"]
