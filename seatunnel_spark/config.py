@@ -358,6 +358,24 @@ def _run_cdc_streaming_job(spark: SparkSession, config: dict) -> dict[str, dict]
         wire_format=wire,
         wire_row_schema=row_schema,
     )
+    # StartupMode from config (reference startup.mode option): INITIAL runs
+    # the chunked snapshot phase over base_dir first (low/high fences fold
+    # in-window events, idempotent via the snapshot epoch), then tails;
+    # EARLIEST (default) streams the whole log; TIMESTAMP via start_ts.
+    mode = str(src.get("startup.mode", "earliest")).lower()
+    if mode == "initial":
+        if not src.get("base_dir"):
+            raise ConfigError("startup.mode = initial needs base_dir "
+                              "(the initial table state to snapshot)")
+        job.ensure_snapshot(
+            spark.read.parquet(src["base_dir"]),
+            job._bounded_log(),
+            table_fields,
+            key,
+            max_fence=int(src.get("snapshot.fence", 0)),
+        )
+    elif mode not in ("earliest", "timestamp"):
+        raise ConfigError(f"unknown startup.mode {mode!r}")
     job.run_incremental(
         available_now=True,
         timeout_s=float(config.get("env", {}).get("job.timeout.s", 600)),

@@ -479,3 +479,56 @@ def test_multi_table_streaming_job_from_conf(spark, tmp_path):
     # rerun: checkpoint resume, no double-apply
     res2 = run_job(spark, cfg)["MultiLakeTable#0"]
     assert res2["alpha"]["version"] == res["alpha"]["version"]
+
+
+def test_cdc_streaming_job_initial_mode(spark, tmp_path):
+    """startup.mode = initial from config: snapshot the base table first
+    (fences fold in-window events), then tail the changelog."""
+    import json as _json
+    import os
+
+    from seatunnel_spark.hocon import load_job_config
+    from seatunnel_spark.lake import LakeTable
+
+    base = spark.createDataFrame(
+        [("o/r", "a.py", "c0", "py", "base_a"), ("o/r", "b.py", "c0", "py", "base_b")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    base_dir = str(tmp_path / "base")
+    base.write.parquet(base_dir)
+
+    topic = str(tmp_path / "topic")
+    os.makedirs(topic)
+    with open(os.path.join(topic, "p0.txt"), "w") as fh:
+        fh.write(_json.dumps({
+            "data": [{"repo": "o/r", "path": "a.py", "commit": "c1",
+                      "lang": "py", "content": "updated_a"}],
+            "old": None, "type": "UPDATE", "table": "repos", "ts": 5,
+        }) + "\n")
+
+    conf = f'''
+    env {{ job.mode = "STREAMING" }}
+    source {{
+      CdcChangelog {{
+        topic_dir = "{topic}"
+        format = "canal-json"
+        startup.mode = "initial"
+        base_dir = "{base_dir}"
+        schema {{ fields {{ repo = string, path = string, commit = string,
+                            lang = string, content = string }} }}
+      }}
+    }}
+    sink {{
+      LakeTable {{
+        root = "{tmp_path / 'lake'}"
+        primary_keys = [repo, path]
+        num_buckets = 2
+        checkpoint_dir = "{tmp_path / 'ckpt'}"
+      }}
+    }}
+    '''
+    res = run_job(spark, load_job_config(conf))["LakeTable#0"]
+    assert res["rows"] == 2
+    got = {r["path"]: r["content"]
+           for r in LakeTable.load(str(tmp_path / "lake")).scan(spark).collect()}
+    assert got == {"a.py": "updated_a", "b.py": "base_b"}
