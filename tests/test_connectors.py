@@ -489,3 +489,74 @@ def test_canal_two_ddls_same_tick_both_apply(spark, tmp_path):
     job.run_incremental(available_now=True, timeout_s=300)
     names = [f["name"] for f in LakeTable.load(root).schema_fields()]
     assert "stars" in names and "forks" in names
+
+
+def test_changelog_serialization_round_trips(spark, tmp_path):
+    """Serialization side of the wire formats (DebeziumJson/CanalJson
+    SerializationSchema parity): rows → envelopes → our own parsers →
+    identical rows, ops, and ordering."""
+    from seatunnel_spark.sinks.changelog import write_changelog
+    from seatunnel_spark.sources.formats import parse_debezium_json, parse_canal_json
+
+    rows = [
+        (1, "a", "I", 10),
+        (1, "a2", "U", 11),
+        (2, "b", "I", 12),
+        (1, None, "D", 13),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, op string, seq long")
+
+    dbz_dir = str(tmp_path / "dbz")
+    write_changelog(df, dbz_dir, "debezium-json", ["id", "name"], table="t1")
+    back = parse_debezium_json(
+        spark.read.text(dbz_dir), ROW_SCHEMA
+    ).collect()
+    got = {(r["_seq"]): (r["op"], r["id"], r["name"], r["_table"]) for r in back}
+    assert got[10] == ("I", 1, "a", "t1")
+    assert got[11] == ("U", 1, "a2", "t1")
+    assert got[13][0] == "D" and got[13][1] == 1  # delete keeps the key image
+
+    canal_dir = str(tmp_path / "canal")
+    write_changelog(df, canal_dir, "canal-json", ["id", "name"], table="t1")
+    back = parse_canal_json(spark.read.text(canal_dir), ROW_SCHEMA).collect()
+    assert len(back) == 4
+    by_seq = sorted(back, key=lambda r: r["_seq"])
+    assert [r["op"] for r in by_seq] == ["I", "U", "I", "D"]
+    assert by_seq[1]["name"] == "a2"
+
+
+def test_lake_changes_feed_reingests_via_wire_format(spark, tmp_path):
+    """The full loop: lake change feed → canal topic → a SECOND ingest job
+    consumes it — lake-as-CDC-source feeding another CDC consumer."""
+    from seatunnel_spark.lake import LakeTable, merge_into
+    from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, repo_schema
+    from seatunnel_spark.sinks.changelog import write_changelog
+    from seatunnel_spark.streaming.job import CdcIngestJob
+
+    src_root = str(tmp_path / "src")
+    t = LakeTable.create(src_root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    batch = spark.createDataFrame(
+        [("o/r", "a.py", "c1", "py", "v1", "I", 1),
+         ("o/r", "b.py", "c2", "py", "v2", "I", 2)],
+        "repo string, path string, commit string, lang string, content string, "
+        "op string, seq long",
+    )
+    merge_into(spark, t, batch, "e1")
+    changed = t.scan(spark, include_meta=True).select(
+        "repo", "path", "commit", "lang", "content",
+        F.when(F.col("_op") == "D", "D").otherwise("U").alias("op"),
+        F.col("_seq").alias("seq"),
+    )
+    topic = str(tmp_path / "topic")
+    write_changelog(changed, topic, "canal-json",
+                    ["repo", "path", "commit", "lang", "content"], table="repos")
+
+    dst_root = str(tmp_path / "dst")
+    LakeTable.create(dst_root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    job = CdcIngestJob(spark, dst_root, topic, str(tmp_path / "ckpt"),
+                       num_buckets=2, wire_format="canal-json",
+                       wire_row_schema=repo_schema())
+    job.run_incremental(available_now=True, timeout_s=300)
+    got = {r["path"]: r["content"]
+           for r in LakeTable.load(dst_root).scan(spark).collect()}
+    assert got == {"a.py": "v1", "b.py": "v2"}
