@@ -933,6 +933,39 @@ def w_events_hourly(spark, sf_dir):
     ).agg(F.count("*").alias("n"), F.round(_dsum(F.col("value")), 2).alias("total_value"))
 
 
+@_reg(
+    "w_events_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 2 HOUR AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def w_events_sessions(spark, sf_dir):
+    """Gap-based sessionization: Spark's native session_window (dynamic
+    event-time window, identical on batch and watermarked streams) vs the
+    classic lag/cumulative-sum island oracle. One keyed shuffle; session
+    end = last event + gap in both engines."""
+    from seatunnel_spark.streaming.windows import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap="2 hours")
+
+
 # =====================================================================
 # Training-data pipeline operators over `documents` / `embeddings`
 # =====================================================================

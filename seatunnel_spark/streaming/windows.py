@@ -66,3 +66,26 @@ def run_windowed_metrics_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def sessionize(
+    df, gap: str = "2 hours", key: str = "user_id", ts_col: str = "ts"
+):
+    """Gap-based sessionization via Spark's native session_window — the
+    dynamic-gap event-time window (state merges adjacent windows closer
+    than ``gap``). Works identically on a batch frame and on a stream with
+    a watermark; the oracle form is the classic lag/cumulative-sum island
+    computation. One keyed shuffle; session state is bounded by the
+    watermark on streams."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(key, F.session_window(ts_col, gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -44,3 +44,34 @@ def test_windowed_stream_appends_closed_windows(spark, tmp_path):
         & (F.col("op") == one["op"])
     ).count()
     assert one["n_events"] == n
+
+
+def test_sessionize_gap_semantics(spark):
+    """Session boundaries: events within the gap merge; a gap strictly
+    larger than the threshold splits; session end = last event + gap."""
+    import datetime as dt
+
+    from seatunnel_spark.streaming.windows import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, ts(0)), (2, 1, ts(30)), (3, 1, ts(50)),   # one session
+            (4, 1, ts(200)),                                  # gap > 2h: new
+            (5, 2, ts(0)),                                    # other user
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = sorted(
+        ((r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+         for r in sessionize(df, gap="2 hours").collect())
+    )
+    assert got == [
+        (1, ts(0), ts(50 + 120), 3),
+        (1, ts(200), ts(200 + 120), 1),
+        (2, ts(0), ts(0 + 120), 1),
+    ]
