@@ -72,6 +72,19 @@ class MultiTableRouter:
         epoch ids) — a DDL row must NEVER reach a merge, where its null key
         would land as a junk row."""
         results: dict[str, dict] = {}
+        # ONE pass over the batch collects every table's DDL events (rare,
+        # tiny) — not a per-table job; tables not in this dict have none.
+        ddl_by_table: dict[str, list] = {}
+        if "ddl" in batch.columns:
+            for r in (
+                batch.where(F.col("op") == "DDL")
+                .select(self.table_col, "seq", "ddl")
+                .collect()
+            ):
+                if r["ddl"] is not None:
+                    ddl_by_table.setdefault(r[self.table_col], []).append(
+                        (r["seq"], r["ddl"])
+                    )
         land = None
         if self.landing_dir is not None and len(self.tables) >= self.landing_threshold:
             land = self._land_batch(batch, batch_id)
@@ -85,30 +98,26 @@ class MultiTableRouter:
                 slice_df = batch.where(
                     F.col(self.table_col) == name
                 ).drop(self.table_col)
-            results[name] = self._apply_table_slice(table, slice_df, batch_id, name)
+            results[name] = self._apply_table_slice(
+                table, slice_df, batch_id, name,
+                sorted(ddl_by_table.get(name, [])),
+            )
         if land is not None:
             shutil.rmtree(land, ignore_errors=True)
         return results
 
     def _apply_table_slice(
-        self, table, slice_df: DataFrame, batch_id: int, name: str
+        self, table, slice_df: DataFrame, batch_id: int, name: str, ddls: list
     ) -> dict:
         from seatunnel_spark.schema import parse_change
         from seatunnel_spark.streaming.job import project_to_table_schema
 
-        has_ddl_col = "ddl" in slice_df.columns
-        if not has_ddl_col:
+        if "ddl" not in slice_df.columns:
             return merge_into(
                 self.spark, table, slice_df,
                 epoch_id=f"b{batch_id}.t.{name}", collect_stats=False,
             )
-        is_ddl = F.col("op") == "DDL"
-        ddls = sorted(
-            (r["seq"], r["ddl"])
-            for r in slice_df.where(is_ddl).select("seq", "ddl").collect()
-            if r["ddl"] is not None
-        )
-        dml = slice_df.where(~is_ddl)
+        dml = slice_df.where(F.col("op") != "DDL")
         if not ddls:
             return merge_into(
                 self.spark, table, project_to_table_schema(table, dml),
