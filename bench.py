@@ -44,6 +44,10 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_pii_redact",
     "udf_sha256",
+    # round 3 additions — totals are not comparable to rounds 1-2 without
+    # subtracting these two (per-query values are)
+    "w_events_sessions",
+    "corpus_clean",
 ]
 
 

@@ -61,18 +61,40 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> Dat
     )
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Small-file guard for the compute-heavy text operators: a corpus that
+    arrives as one parquet file scans as ONE partition, serializing minutes
+    of per-shingle hashing onto a single core. Spread it across the cluster
+    when under-partitioned — the shuffle moves only the raw text once and
+    buys full parallelism. At real scale (many files / row groups) the scan
+    is already wide and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", col: str = "text", k: int = 16
 ) -> DataFrame:
-    """k-permutation MinHash signature as array<bigint> of length k."""
-    sh = _shingles(col)
+    """k-permutation MinHash signature as array<bigint> of length k.
 
+    ONE pass over the shingle array: each shingle yields its k salted hashes
+    (``transform`` → inner array), then a single ``aggregate`` folds an
+    elementwise ``least`` — the shingle array is built once instead of once
+    per hash function (the k-separate-``array_min`` form re-evaluated the
+    shingling k times: measured ~16x the work at k=16). Values are
+    identical — same md5 family, same min — so the DuckDB oracle is
+    unchanged."""
+    df = _spread_small_input(df)
+    sh = _shingles(col)
     # NB: single-arity lambdas only — a (x, i) lambda makes Spark pass the
     # element index as the second arg, which would silently replace the salt.
-    def hasher(salt):
-        return lambda s: _h48(s, salt)
-
-    sig = F.array(*[F.array_min(F.transform(sh, hasher(i))) for i in range(k)])
+    per_shingle = F.transform(sh, lambda s: F.array(*[_h48(s, i) for i in range(k)]))
+    init = F.array_repeat(F.lit(1 << 62).cast("bigint"), k)
+    sig = F.aggregate(
+        per_shingle, init, lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b))
+    )
     return df.select(F.col(id_col), sig.alias("minhash"))
 
 
@@ -97,7 +119,14 @@ def minhash_lsh_pairs(
     against the same skew, JdbcSourceOptions.java:102-138). The cap makes
     the pair count O(buckets × cap²) by construction."""
     r = k // bands
-    sigs = minhash_signatures(df, id_col, col, k)
+    # Materialize signatures ONCE (id + k bigints — tiny): every band-hash
+    # below accesses minhash[i], and Catalyst's projection collapse +
+    # extract-value simplification would inline the full shingle+minhash
+    # expression tree into each of the k accesses (and again into every
+    # downstream reference: bucket histogram, leftsemi, both join sides) —
+    # measured as a ~50x recomputation of the text-processing work. On a
+    # cluster needing executor-failure tolerance use checkpoint() instead.
+    sigs = minhash_signatures(df, id_col, col, k).localCheckpoint(eager=True)
     band_rows = sigs.select(
         id_col,
         F.explode(
@@ -215,6 +244,10 @@ def dup_clusters(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # materialize the edge list ONCE: the loop joins against it every round,
+    # and without this the whole upstream candidate pipeline (LSH + verify)
+    # would re-execute per iteration
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
