@@ -253,6 +253,13 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
         import uuid as _uuid
 
         epoch = block.get("epoch_id") or f"config.{_uuid.uuid4().hex[:12]}"
+        # First deployment has no table yet: CREATE TABLE IF NOT EXISTS is
+        # idempotent, so run it unconditionally before the MERGE — the same
+        # auto-create the LakeTable sink branch does, making the one-config
+        # backend switch actually drop-in.
+        backend.run_sql(
+            backend.create_sql(fields, num_buckets=int(block.get("num_buckets", 16)))
+        )
         res = backend.merge_into(batch, epoch)
         return {"written": True, "merge_sql": res["merge_sql"]}
     raise ConfigError(f"unknown sink plugin {plugin!r}")

@@ -266,11 +266,26 @@ class _Parser:
         # whitespace followed by another `key =` / `key :` token and rewind
         # so the next pair parses normally. The key lookahead excludes ':'
         # so URL-ish values (`jdbc:derby:...`) — where ':' is inside the
-        # first token, never after whitespace — stay whole.
+        # first token, never after whitespace — stay whole. The rewind only
+        # fires when the truncated head is a single token (a scalar or one
+        # bare word — an unambiguous "value then next pair"): multi-word
+        # free text containing ` word =` (`query = SELECT ... WHERE b = 1`)
+        # is ambiguous — spec HOCON forbids '=' in unquoted strings — so it
+        # raises instead of silently splitting into a corrupted value plus a
+        # bogus extra pair.
         import re
 
         nxt = re.search(r'\s+([^\s=:{}\[\],#"]+)\s*[=:]', raw)
         if nxt:
+            head = raw[: nxt.start()].strip()
+            if re.search(r"\s", head) and not isinstance(
+                _coerce(head), (bool, int, float, type(None))
+            ):
+                raise HoconError(
+                    f"ambiguous unquoted value {raw.strip()!r} at {self.i}: "
+                    "free text containing a nested `key =` token — quote the "
+                    'value ("...") or put each pair on its own line'
+                )
             j = self.i + nxt.start()
             raw = raw[: nxt.start()]
         self.i = j

@@ -252,6 +252,7 @@ def dup_clusters(
         "lbl", F.col("node")
     )
     labels = labels.localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -272,6 +273,16 @@ def dup_clusters(
         labels = merged.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
+    if changed != 0:
+        # a chain-shaped component with diameter > max_iters would otherwise
+        # come back silently SPLIT (wrong canonical ids → duplicates kept
+        # downstream). Loud failure; raising max_iters is the remedy — rounds
+        # are bounded by component diameter, and LSH cliques need only 2-3.
+        raise ValueError(
+            f"dup_clusters did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing); raise max_iters — the pair "
+            "graph has a component with diameter exceeding it"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),

@@ -236,6 +236,7 @@ def lsh_near_dup_pairs(
     vec_col: str = "embedding",
     max_bucket: int | None = 64,
     round_dp: int | None = None,
+    warn_skipped: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs: bucket by full signature, verify cosine
     within buckets only. Returns (vec_a, vec_b, cos_sim).
@@ -248,17 +249,39 @@ def lsh_near_dup_pairs(
     skipped: such a bucket is an (near-)exact-dup cluster that exact
     dedup collapses in O(N); run it first and feed canonical representatives
     here. The cap bounds the pair count at O(buckets × cap²) by
-    construction."""
+    construction.
+
+    Coverage loss is never silent: with ``warn_skipped`` (default) a
+    ``UserWarning`` reports how many buckets/vectors the cap dropped (one
+    small aggregate action over the id+signature table — the embeddings are
+    not recomputed); ``lsh_over_cap_buckets`` returns the same skipped set
+    as a DataFrame for callers that route oversized buckets through exact
+    dedup instead."""
     sigs = lsh_signature(df, dim, planes, vec_col, round_dp=round_dp).select(
         id_col, vec_col, "lsh_sig"
     )
     if max_bucket is not None:
-        small = (
-            sigs.groupBy("lsh_sig")
-            .agg(F.count("*").alias("_bn"))
-            .where(F.col("_bn") <= max_bucket)
-            .select("lsh_sig")
-        )
+        counts = sigs.groupBy("lsh_sig").agg(F.count("*").alias("_bn"))
+        if warn_skipped:
+            import warnings
+
+            over = (
+                counts.where(F.col("_bn") > max_bucket)
+                .agg(
+                    F.count("*").alias("buckets"),
+                    F.coalesce(F.sum("_bn"), F.lit(0)).alias("vecs"),
+                )
+                .first()
+            )
+            if over["buckets"]:
+                warnings.warn(
+                    f"lsh_near_dup_pairs: max_bucket={max_bucket} skipped "
+                    f"{over['buckets']} over-cap signature bucket(s) holding "
+                    f"{over['vecs']} vectors — run exact dedup first or raise "
+                    "max_bucket (see lsh_over_cap_buckets)",
+                    stacklevel=2,
+                )
+        small = counts.where(F.col("_bn") <= max_bucket).select("lsh_sig")
         sigs = sigs.join(small, "lsh_sig", "leftsemi")
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
@@ -274,3 +297,23 @@ def lsh_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def lsh_over_cap_buckets(
+    df: DataFrame,
+    dim: int,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 64,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """The buckets ``lsh_near_dup_pairs`` would SKIP under ``max_bucket``:
+    (lsh_sig, bucket_size). Route these through exact dedup (a bucket this
+    dense is a near-identical cluster — O(N) collapse) instead of the N²
+    pairwise path; empty result means the cap dropped nothing."""
+    sigs = lsh_signature(df, dim, planes, vec_col, round_dp=round_dp)
+    counts = sigs.groupBy("lsh_sig").agg(F.count("*").alias("bucket_size"))
+    if max_bucket is None:
+        return counts.where(F.lit(False))
+    return counts.where(F.col("bucket_size") > max_bucket)

@@ -63,21 +63,31 @@ def to_canal_json(
     table: str,
     op_col: str = "op",
     seq_col: str = "seq",
+    ts_col: str | None = None,
 ) -> DataFrame:
-    """(row cols + op + seq) → one canal envelope per row. Canal's ``ts`` is
-    millisecond-grained; the seq rides as the monotonic batch ``id`` so the
-    parser's low-bit folding reconstructs the exact total order."""
+    """(row cols + op + seq [+ ts]) → one canal envelope per row. The seq
+    rides as the monotonic batch ``id`` (the parser folds id into _seq's low
+    bits, so same-millisecond rows keep their relative order); ``ts`` is the
+    real event time when ``ts_col`` is given, else the seq — which then must
+    stay below 2^41 or the parser's 22-bit shift would overflow (it raises).
+    Never put a parser-derived _seq (~2^63 scale) in ``ts``: that is exactly
+    the overflow the id slot exists to avoid."""
     row = F.struct(*[F.col(c) for c in row_cols])
     typ = (
         F.when(F.col(op_col) == "I", "INSERT")
         .when(F.col(op_col) == "U", "UPDATE")
         .when(F.col(op_col) == "D", "DELETE")
     )
+    ts_ms = (
+        (F.col(ts_col).cast("double") * 1000).cast("long")
+        if ts_col
+        else F.col(seq_col).cast("long")
+    )
     env = F.struct(
         F.array(row).alias("data"),
         typ.alias("type"),
         F.lit(table).alias("table"),
-        F.col(seq_col).cast("long").alias("ts"),
+        ts_ms.alias("ts"),
         F.col(seq_col).cast("long").alias("id"),
     )
     return df.select(F.to_json(env).alias("value"))

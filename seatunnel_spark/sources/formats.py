@@ -42,30 +42,71 @@ def debezium_envelope_schema(row_schema: T.StructType) -> T.StructType:
                 ),
                 True,
             ),
+            # Debezium SCHEMA-CHANGE envelope (history topic, or the data
+            # topic with include.schema.changes=true): the raw DDL statement
+            # plus the structured tableChanges array. Data-change envelopes
+            # leave both null. Reference: SchemaChangeResolver.java:27-32 and
+            # seatunnel-format-compatible-debezium-json.
+            T.StructField("ddl", T.StringType(), True),
+            T.StructField(
+                "tableChanges",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("type", T.StringType(), True),
+                            T.StructField("id", T.StringType(), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+            # older Debezium spelling: the history record rides as an escaped
+            # JSON string whose payload carries the same ddl field
+            T.StructField("historyRecord", T.StringType(), True),
         ]
     )
+
+
+_HISTORY_DDL_SCHEMA = T.StructType([T.StructField("ddl", T.StringType(), True)])
 
 
 def parse_debezium_json(
     df: DataFrame, row_schema: T.StructType, value_col: str = "value"
 ) -> DataFrame:
     """Raw debezium JSON strings → (op, _table, ts_ms, <row fields>).
-    DELETE takes the before image; everything else the after image."""
+    DELETE takes the before image; everything else the after image.
+
+    Schema-change envelopes (a top-level ``ddl`` field, or the legacy
+    ``historyRecord`` JSON string wrapping one) become op='DDL' rows whose
+    ``_ddl`` column carries the raw ALTER statement — the same routing the
+    canal parser does for ``isDdl`` envelopes, so MySQL DDL flows through
+    schema.parse_change → lake evolution on the debezium wire format too.
+    The table id prefers ``source.table`` and falls back to the first
+    ``tableChanges[].id`` (history-topic events may omit ``source.table``),
+    unquoting the `"db"."tbl"` spelling and keeping the last dotted part."""
     env = F.from_json(F.col(value_col), debezium_envelope_schema(row_schema))
+    hist_ddl = F.from_json(env["historyRecord"], _HISTORY_DDL_SCHEMA)["ddl"]
+    ddl = F.coalesce(env["ddl"], hist_ddl)
+    is_ddl = ddl.isNotNull()
     op = (
-        F.when(env["op"].isin("c", "r"), "I")
+        F.when(is_ddl, "DDL")
+        .when(env["op"].isin("c", "r"), "I")
         .when(env["op"] == "u", "U")
         .when(env["op"] == "d", "D")
     )
     image = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
+    tc_table = F.element_at(
+        F.split(F.regexp_replace(env["tableChanges"][0]["id"], '"', ""), r"\."), -1
+    )
     out = df.select(
         op.alias("op"),
-        env["source"]["table"].alias("_table"),
+        F.coalesce(env["source"]["table"], tc_table).alias("_table"),
         env["ts_ms"].alias("ts_ms"),
         F.coalesce(env["source"]["seq"], env["ts_ms"]).alias("_seq"),
+        F.when(is_ddl, ddl).alias("_ddl"),
         image.alias("_row"),
     )
-    return out.select("op", "_table", "ts_ms", "_seq", "_row.*")
+    return out.select("op", "_table", "ts_ms", "_seq", "_ddl", "_row.*")
 
 
 def mongo_envelope_schema(row_schema: T.StructType) -> T.StructType:
@@ -183,12 +224,26 @@ def parse_canal_json(
     # envelope counter) and 10 for the row's index in `data`. Wrap-around
     # needs >4096 envelopes or >1024 rows-per-envelope inside a single
     # millisecond to produce a tie — beyond any real canal deployment.
+    # Layout: _seq = ts_ms<<22 | (id%4096)<<10 | row_idx%1024. ts_ms must
+    # stay below 2^41 (epoch ms until year ~2039) or the shift overflows
+    # int64 — enforced loudly below instead of silently wrapping LWW order;
+    # a canal feed past 2039 (or a mis-wired seq-as-ts producer) raises.
+    ts_checked = F.when(
+        env["ts"].isNull() | (env["ts"] < F.lit(1 << 41)), env["ts"]
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("canal ts overflows the 22-bit _seq shift (>= 2^41 ms): "),
+                env["ts"].cast("string"),
+            )
+        )
+    )
     out = df.select(
         op.alias("op"),
         env["table"].alias("_table"),
         env["ts"].alias("ts_ms"),
         (
-            F.shiftleft(env["ts"], 22)
+            F.shiftleft(ts_checked, 22)
             + F.shiftleft(F.coalesce(env["id"], F.lit(0)) % 4096, 10)
         ).alias("_seq0"),
         F.when(is_ddl, env["sql"]).alias("_ddl"),

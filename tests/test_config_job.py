@@ -532,3 +532,21 @@ def test_cdc_streaming_job_initial_mode(spark, tmp_path):
     got = {r["path"]: r["content"]
            for r in LakeTable.load(str(tmp_path / "lake")).scan(spark).collect()}
     assert got == {"a.py": "updated_a", "b.py": "base_b"}
+
+
+def test_hocon_free_text_with_nested_pair_raises():
+    """ADVICE r3: `query = SELECT a FROM t WHERE b = 1` silently parsed as a
+    truncated value plus a bogus `b = 1` pair. Multi-word free text with a
+    nested `key =` token now raises (spec HOCON forbids '=' in unquoted
+    strings); single-token heads keep the two-pairs-on-one-line rewind."""
+    import pytest as _pytest
+
+    from seatunnel_spark.hocon import HoconError, loads
+
+    with _pytest.raises(HoconError, match="ambiguous unquoted value"):
+        loads("transform { query = SELECT a FROM t WHERE b = 1 }")
+    # the documented fix — quoting — parses to the intact statement
+    cfg = loads('transform { query = "SELECT a FROM t WHERE b = 1" }')
+    assert cfg["transform"]["query"] == "SELECT a FROM t WHERE b = 1"
+    # scalar and single-word heads still rewind into separate pairs
+    assert loads("a = 1 b = two c = 3") == {"a": 1, "b": "two", "c": 3}

@@ -365,3 +365,56 @@ def test_repetition_stats(spark):
     # bigrams of doc 3: "a b" x3, "b a" x2 -> 1 - 2/5
     assert got[3]["dup_2gram_frac"] == round(1 - 2 / 5, 6)
     assert got[4]["n_words"] == 1 and got[4]["dup_2gram_frac"] == 0.0
+
+
+def test_dup_clusters_nonconvergence_is_loud(spark):
+    """ADVICE r3: a chain-shaped component with diameter > max_iters used to
+    come back silently SPLIT (wrong canonical ids). It now raises."""
+    chain = [(i, i + 1) for i in range(12)]  # path graph, diameter 12
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup_docs.dup_clusters(pairs, max_iters=2)
+    # enough rounds → converges to one cluster rooted at 0
+    out = dedup_docs.dup_clusters(pairs, max_iters=20).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_lsh_near_dup_pairs_warns_on_skipped_buckets(spark):
+    """ADVICE r3: the max_bucket cap silently dropped every pair in over-cap
+    buckets. Coverage loss is now observable: a UserWarning reports the
+    skipped bucket/vector counts, and lsh_over_cap_buckets returns the
+    skipped set for exact-dedup routing."""
+    import math
+    import warnings
+
+    dim, cap = 8, 4
+    dup = [(i, [1.0] * dim) for i in range(20)]  # one over-cap bucket
+    distinct = [
+        (100 + i, [math.sin(i * 7.3 + d) for d in range(dim)]) for i in range(6)
+    ]
+    df = spark.createDataFrame(dup + distinct, "vec_id long, embedding array<double>")
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.lsh_near_dup_pairs(
+            df, dim, planes=4, threshold=-1.0, max_bucket=cap
+        ).count()
+    skip_warns = [x for x in w if "skipped" in str(x.message)]
+    assert len(skip_warns) == 1
+    import re
+
+    m = re.search(r"holding (\d+) vectors", str(skip_warns[0].message))
+    assert m and int(m.group(1)) >= 20  # at least the dup cluster
+
+    over = similarity.lsh_over_cap_buckets(df, dim, planes=4, max_bucket=cap).collect()
+    assert len(over) == 1 and over[0]["bucket_size"] >= 20
+
+    # under-cap corpus → no warning, empty over-cap set
+    small = spark.createDataFrame(distinct, "vec_id long, embedding array<double>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.lsh_near_dup_pairs(small, dim, planes=4, threshold=-1.0,
+                                      max_bucket=cap).count()
+    assert not [x for x in w if "skipped" in str(x.message)]
+    assert similarity.lsh_over_cap_buckets(small, dim, planes=4,
+                                           max_bucket=cap).count() == 0
