@@ -135,6 +135,69 @@ def run_cdc_replay(spark) -> dict:
     }
 
 
+# training-data heads measured again at SCALEUP_FACTOR x documents/embeddings
+# (VERDICT r3 #8: scaling curves measured, not argued)
+SCALEUP_HEADS = [
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "text_token_count",
+    "text_quality_score",
+    "text_pii_redact",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "corpus_clean",
+]
+SCALEUP_FACTOR = int(os.environ.get("BENCH_SCALEUP_FACTOR", "10"))
+
+
+def ensure_scaled_tables(spark, src_dir: str, factor: int) -> str:
+    """Deterministically synthesize a factor-x documents/embeddings corpus
+    from ``src_dir`` (sf0.1 x10 ≈ sf1 for the training-data heads): each
+    source doc yields ``factor`` distinct variants (k-tagged text edits →
+    realistic near-dup-heavy corpus, the dedup operators' target workload);
+    embeddings get a k-proportional nudge on one dimension. Cached on disk
+    keyed by (src, factor)."""
+    out = os.path.join(CACHE, f"scaled_{os.path.basename(src_dir.rstrip('/'))}_x{factor}")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ks = F.explode(F.array(*[F.lit(k) for k in range(factor)])).alias("k")
+
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    scaled_docs = docs.select("*", ks).select(
+        (F.col("doc_id") * factor + F.col("k")).alias("doc_id"),
+        F.when(F.col("k") == 0, F.col("text")).otherwise(
+            F.concat(F.col("text"), F.lit(" variant tag v"), F.col("k").cast("string"))
+        ).alias("text"),
+        "lang",
+        "source",
+        (F.length(F.col("text")) + F.when(F.col("k") == 0, 0).otherwise(14)).alias("n_chars"),
+    )
+    scaled_docs.repartition(CPUS).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    nudged = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x + F.when(i == 0, F.col("k").cast("float") * F.lit(0.001)).otherwise(F.lit(0.0))
+        ).cast("float"),
+    )
+    scaled_emb = emb.select("*", ks).select(
+        (F.col("vec_id") * factor + F.col("k")).alias("vec_id"),
+        nudged.alias("embedding"),
+        "label",
+    )
+    scaled_emb.repartition(CPUS).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    open(marker, "w").write(f"{src_dir}|{factor}")
+    return out
+
+
 def main() -> None:
     from seatunnel_spark.entry_queries import QUERIES
     from seatunnel_spark.session import get_spark
@@ -166,6 +229,34 @@ def main() -> None:
         q_times[name] = round(samples[len(samples) // 2], 3)
         log(f"{name}: {q_times[name]}s median of {[round(s, 3) for s in samples]} ({n} rows)")
 
+    # ---- scale-up section: same heads at FACTOR x docs/embeddings --------
+    # measured separately; NOT added to the headline total (comparability)
+    scaleup: dict = {}
+    if SCALEUP_FACTOR > 1 and os.environ.get("BENCH_SCALEUP", "1") != "0":
+        t0 = time.time()
+        scaled_dir = ensure_scaled_tables(spark, SF_DIR, SCALEUP_FACTOR)
+        log(f"scaled x{SCALEUP_FACTOR} corpus ready in {time.time()-t0:.1f}s")
+        s_runs = int(os.environ.get("BENCH_SCALEUP_RUNS", "3"))
+        for name in SCALEUP_HEADS:
+            fn = QUERIES[name]
+            samples = []
+            n = 0
+            for _ in range(s_runs):
+                t0 = time.time()
+                n = fn(spark, scaled_dir).count()
+                samples.append(time.time() - t0)
+            samples.sort()
+            med = round(samples[len(samples) // 2], 3)
+            base = q_times.get(name)
+            # ratio vs LINEAR scaling expectation (factor x the sf0.1 median):
+            # <=1 is at-or-better-than-linear; the verdict's bar is <=2
+            ratio = round(med / (base * SCALEUP_FACTOR), 3) if base else None
+            scaleup[name] = {"sec": med, "vs_linear": ratio, "rows": n}
+            log(
+                f"scaleup x{SCALEUP_FACTOR} {name}: {med}s "
+                f"(vs_linear={ratio}, {n} rows, runs={[round(s,3) for s in samples]})"
+            )
+
     total = round(sum(q_times.values()) + cdc["wall_s"], 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -178,6 +269,8 @@ def main() -> None:
         "cdc": cdc,
         "cpus": CPUS,
     }
+    if scaleup:
+        out["scaleup"] = {"factor": SCALEUP_FACTOR, "queries": scaleup}
     print(json.dumps(out))
 
 

@@ -57,6 +57,25 @@ def fake_source(spark: SparkSession, opts: dict) -> DataFrame:
     fields = (opts.get("schema") or {}).get("fields") or {}
     if not fields:
         raise ConfigError("FakeSource needs schema.fields")
+    if opts.get("rows"):
+        # explicit changelog rows (the reference's FakeSource `rows` option
+        # with per-row RowKind, e.g. clickhouse_sink_cdc_changelog_case2.conf):
+        # literal values in schema-field order plus an `op` column
+        kind_map = {"INSERT": "I", "UPDATE_AFTER": "U",
+                    "UPDATE_BEFORE": "-U", "DELETE": "D"}
+        data = []
+        for r in opts["rows"]:
+            kind = str(r.get("kind", "INSERT"))
+            if kind not in kind_map:
+                raise ConfigError(f"FakeSource row kind {kind!r} unknown")
+            vals = r.get("fields")
+            if not isinstance(vals, list) or len(vals) != len(fields):
+                raise ConfigError(
+                    f"FakeSource row needs {len(fields)} fields, got {vals!r}"
+                )
+            data.append(tuple(vals) + (kind_map[kind],))
+        ddl = ", ".join(f"{name} {typ}" for name, typ in fields.items())
+        return spark.createDataFrame(data, ddl + ", op string")
     df = spark.range(n).withColumnRenamed("id", "_row")
     cols = []
     # value ranges per integral type — generated values must fit the cast
@@ -262,6 +281,74 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
         )
         res = backend.merge_into(batch, epoch)
         return {"written": True, "merge_sql": res["merge_sql"]}
+    if plugin == "Clickhouse":
+        # Reference connector-clickhouse sink (ClickhouseSinkWriter +
+        # JdbcBatchStatementExecutorBuilder): upserts land as plain INSERTs
+        # into a ReplacingMergeTree (newest row per ORDER BY key wins at
+        # merge), deletes as lightweight DELETEs. Accepts the reference's
+        # .conf options verbatim (host/database/table/username/password/
+        # primary_key/allow_experimental_lightweight_delete). ``dry_run``
+        # returns the statements without a server — same seam as Iceberg.
+        from seatunnel_spark.sinks.jdbc import DIALECTS, jdbc_upsert_write
+
+        dialect = DIALECTS["clickhouse"]
+        key = block.get("primary_key") or block.get("primary_keys")
+        key = [key] if isinstance(key, str) else list(key or [])
+        if not key:
+            raise ConfigError("Clickhouse sink needs primary_key")
+        target = block["table"]
+        batch = df
+        if "op" not in batch.columns:
+            batch = batch.withColumn("op", F.lit("I"))
+        # the reference sink skips UPDATE_BEFORE rows outright
+        # (BufferReducedBatchStatementExecutor.java:56-58)
+        batch = batch.where(F.col("op") != "-U")
+        if "seq" not in batch.columns:
+            # arrival order is the LWW order (the reference buffers in a
+            # LinkedHashMap keyed by PK — later rows overwrite earlier)
+            batch = batch.withColumn("seq", F.monotonically_increasing_id())
+        from seatunnel_spark.operators.dedup import lww_reduce
+
+        reduced = lww_reduce(batch, key)
+        cols = [c for c in df.columns if c not in ("op", "seq")]
+        upserts = reduced.where(F.col("op") != "D").select(*cols)
+        deletes = reduced.where(F.col("op") == "D").select(*key)
+        lightweight = bool(block.get("allow_experimental_lightweight_delete", False))
+        upsert_sql = dialect.upsert_from_staging(target, f"{target}_STAGE", cols, key)
+        delete_sql = dialect.delete_from_staging(
+            target, f"{target}_DEL_STAGE", key, lightweight=lightweight
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "upsert_rows": upserts.count(),
+                "delete_rows": deletes.count(),
+                "upsert_sql": upsert_sql,
+                "delete_sql": delete_sql,
+            }
+        url = f"jdbc:clickhouse://{block['host']}/{block.get('database', 'default')}"
+        if block.get("username"):
+            url += f"?user={block['username']}&password={block.get('password', '')}"
+        executed = []
+        if deletes.head(1):
+            from seatunnel_spark.sources.jdbc import driver_connection
+
+            deletes.write.format("jdbc").option("url", url).option(
+                "dbtable", f"{target}_DEL_STAGE"
+            ).option("truncate", "true").mode("overwrite").save()
+            conn = driver_connection(df.sparkSession, url)
+            try:
+                st = conn.createStatement()
+                st.execute(delete_sql)
+                st.close()
+            finally:
+                conn.close()
+            executed.append(delete_sql)
+        if upserts.head(1):
+            executed.append(
+                jdbc_upsert_write(upserts, url, target, key, dialect=dialect)
+            )
+        return {"written": True, "statements": executed}
     raise ConfigError(f"unknown sink plugin {plugin!r}")
 
 

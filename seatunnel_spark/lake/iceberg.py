@@ -161,14 +161,27 @@ class IcebergSqlBackend:
             return [f"ALTER TABLE {self.target} RENAME TO {c.name}"]
         raise ValueError(f"unknown schema change kind: {c.kind}")
 
+    EPOCH_SUMMARY_KEY = "epoch-id"
+
+    def snapshot_property_options(self, epoch_id: str) -> dict[str, str]:
+        """Writer-API options that stamp the epoch id into the Iceberg
+        snapshot summary: pass to ``df.writeTo(target).option(k, v)`` /
+        ``DataFrameWriterV2`` on the paths that go through the writer API
+        (the snapshot phase's append). SQL ``MERGE INTO`` statements cannot
+        carry snapshot properties — those commits rely SOLELY on the seq
+        guard for replay idempotence (module docstring) and are absent from
+        ``epoch_scan_sql`` results by design."""
+        return {f"snapshot-property.{self.EPOCH_SUMMARY_KEY}": str(epoch_id)}
+
     def epoch_scan_sql(self, epoch_id: str) -> str:
         """Lineage probe: has a snapshot stamped with this epoch id been
-        committed? (Summary properties land via ``snapshot-property.*``
-        write options; SQL MERGE commits are covered by the seq guard, so
-        this is observability, not the correctness gate.)"""
+        committed? Only finds snapshots written through the writer API with
+        ``snapshot_property_options`` (same summary key by construction);
+        SQL MERGE commits never appear here — they are covered by the seq
+        guard, so this is observability, not the correctness gate."""
         return (
             f"SELECT snapshot_id FROM {self.target}.snapshots "
-            f"WHERE summary['epoch-id'] = '{epoch_id}'"
+            f"WHERE summary['{self.EPOCH_SUMMARY_KEY}'] = '{epoch_id}'"
         )
 
     def compact_sql(self, catalog: str) -> str:

@@ -31,6 +31,47 @@ def _idiv(a, b):
     return F.floor(a / b)
 
 
+def _distributed_rank(sample: DataFrame, key: str) -> tuple[DataFrame, int]:
+    """Global rank of ``sample`` by ``key`` WITHOUT a single-partition sort
+    (VERDICT r3 #6: the 1/1000 sample of 10^10 rows is 10^7 rows — too big
+    for one task). Two-phase rank, the classic distributed form:
+
+    1. range-repartition the sample by key (sorted, non-overlapping
+       partition ranges; equal keys land together), materialized once so
+       the count action and the rank computation see the SAME partitioning;
+    2. per-partition counts → cumulative offsets (≤ parallelism tiny rows,
+       driver-side — the enumerator-parity step);
+    3. rank = partition offset + row_number within the partition — every
+       window is keyed by partition id, so no exchange to one task exists
+       anywhere in the plan.
+
+    Returns (df[key, rn] with rn in 1..n, n)."""
+    target = max(2, sample.sparkSession.sparkContext.defaultParallelism)
+    part = (
+        sample.repartitionByRange(target, F.col(key))
+        .select(key, F.spark_partition_id().alias("_pid"))
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in part.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    )
+    ns = sum(c for _, c in counts)
+    offsets: list = []
+    acc = 0
+    for pid, c in counts:
+        offsets += [F.lit(pid), F.lit(acc)]
+        acc += c
+    if not offsets:
+        return part.select(key, F.lit(0).cast("long").alias("rn")), 0
+    off = F.element_at(F.create_map(*offsets), F.col("_pid"))
+    w_local = Window.partitionBy("_pid").orderBy(key)
+    ranked = part.select(
+        key, (off + F.row_number().over(w_local)).cast("long").alias("rn")
+    )
+    return ranked, ns
+
+
 def sample_sharding(
     ev: DataFrame,
     key: str = "user_id",
@@ -74,17 +115,11 @@ def sample_sharding(
     sample = ev.select(key).where(
         F.pmod(F.xxhash64(*ev.columns), F.lit(sample_rate)) == 0
     )
-    w_rank = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    ranked = sample.select(
-        key,
-        F.count(F.lit(1)).over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("ns"),
-    )
+    ranked, ns = _distributed_rank(sample, key)
     # boundary keys at equal sample ranks: the key where floor(rn*S/ns)
     # steps up — ≤ S-1 rows, collected driver-side (enumerator parity)
-    step = _idiv(F.col("rn") * shards, F.col("ns"))
-    prev_step = _idiv((F.col("rn") - 1) * shards, F.col("ns"))
+    step = _idiv(F.col("rn") * shards, F.lit(ns))
+    prev_step = _idiv((F.col("rn") - 1) * shards, F.lit(ns))
     bounds = sorted(
         {
             r[0]
@@ -92,7 +127,7 @@ def sample_sharding(
             .select(key)
             .collect()
         }
-    )
+    ) if ns else []
     # assignment: pure projection over the histogram — shard = 1 + #bounds
     # strictly below the key (literal comparisons, codegen'd, no join)
     expr = F.lit(1)

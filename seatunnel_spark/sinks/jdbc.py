@@ -140,6 +140,45 @@ class SqlServerDialect(AnsiMergeDialect):
         return stmt
 
 
+class ClickhouseDialect(AnsiMergeDialect):
+    """ClickHouse has no MERGE/ON CONFLICT: the reference upserts into a
+    ReplacingMergeTree by PLAIN INSERT — the engine's background merge keeps
+    the newest row per ORDER BY key (JdbcBatchStatementExecutorBuilder.java:
+    100-105 'ReplacingMergeTree Update Row: upsert row by order-by-keys'),
+    and deletes are lightweight DELETEs gated by the experimental setting
+    (SqlUtils.java:47-55, ClickhouseSinkWriter.java:200). Feed it
+    LWW-reduced batches (one row per key) so insert-as-upsert is exact."""
+
+    name = "clickhouse"
+
+    def q(self, ident: str) -> str:
+        return "`" + ident.replace("`", "\\`") + "`"
+
+    def upsert_from_staging(self, target, staging, cols, key):
+        qc = self.q
+        ins_cols = ", ".join(qc(c) for c in cols)
+        return (
+            f"INSERT INTO {target} ({ins_cols}) "
+            f"SELECT {ins_cols} FROM {staging}"
+        )
+
+    def delete_from_staging(
+        self, target: str, staging: str, key: list[str], lightweight: bool = True
+    ) -> str:
+        """Keyed delete of every staged key — the reference's per-row
+        ``DELETE FROM t WHERE k = ?`` (SqlUtils.getLightweightDeleteStatement)
+        re-expressed set-based over the staged table."""
+        qc = self.q
+        keys = ", ".join(qc(k) for k in key)
+        stmt = (
+            f"DELETE FROM {target} WHERE ({keys}) IN "
+            f"(SELECT {keys} FROM {staging})"
+        )
+        if lightweight:
+            stmt += " SETTINGS allow_experimental_lightweight_delete = 1"
+        return stmt
+
+
 DIALECTS = {
     d.name: d()
     for d in (
@@ -148,6 +187,7 @@ DIALECTS = {
         PostgresDialect,
         OracleDialect,
         SqlServerDialect,
+        ClickhouseDialect,
     )
 }
 

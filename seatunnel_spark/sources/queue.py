@@ -98,17 +98,35 @@ def read_changelog_stream(
     row_schema: T.StructType,
     max_files_per_trigger: int = 2,
     keep_table: bool = False,
+    broker: dict | None = None,
 ) -> DataFrame:
-    """File-backed changelog stream: text files of one JSON envelope per line
-    (exactly a Kafka topic's value column) → typed event stream. Swap the
-    first line for ``readStream.format("kafka")`` + CAST(value AS STRING) on
-    a real broker; everything downstream is unchanged."""
+    """Changelog stream → typed event stream. Default transport is the
+    file-backed stand-in (text files of one JSON envelope per line — exactly
+    a Kafka topic's value column). Passing ``broker`` swaps the first
+    readStream line for a real Kafka topic via the tested option seam
+    (sources/kafka.py)::
+
+        broker = {"bootstrap_servers": "b:9092", "topic": "cdc.repos",
+                  "start_mode": "timestamp", "start_timestamp_ms": ...}
+
+    Everything downstream — envelope parsing, RowKind routing, ordering,
+    DDL routing — is identical on both transports."""
     if wire_format not in WIRE_FORMATS:
         raise ValueError(f"unknown wire_format {wire_format!r}; use one of {WIRE_FORMATS}")
-    raw = (
-        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
-        .text(source_dir)
-    )
+    if broker is not None:
+        from seatunnel_spark.sources.kafka import kafka_read_options, kafka_value_stream
+
+        opts = kafka_read_options(**{k: v for k, v in broker.items()
+                                     if k != "max_offsets_per_trigger"})
+        raw = kafka_value_stream(
+            spark, opts,
+            max_offsets_per_trigger=broker.get("max_offsets_per_trigger"),
+        )
+    else:
+        raw = (
+            spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+            .text(source_dir)
+        )
     parsed = _PARSERS[wire_format](raw, row_schema)
     return changelog_to_events(
         parsed, [f.name for f in row_schema.fields], keep_table=keep_table

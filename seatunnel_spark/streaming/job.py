@@ -144,12 +144,16 @@ class CdcIngestJob:
         exactly_once: bool = True,
         wire_format: str = "parquet-events",
         wire_row_schema=None,
+        broker: dict | None = None,
     ):
         """``wire_format``: 'parquet-events' (the native typed log) or a
         queue value format — 'debezium-json' / 'canal-json' — in which case
         ``events_dir`` holds text files of one JSON envelope per line (the
-        Kafka value shape; sources/queue.py documents the broker swap) and
-        ``wire_row_schema`` (StructType) types the row images."""
+        Kafka value shape) and ``wire_row_schema`` (StructType) types the
+        row images. ``broker`` switches the queue transport from the
+        file-backed stand-in to a real Kafka topic (sources/kafka.py option
+        seam: bootstrap_servers/topic/start_mode...); everything downstream
+        of the first readStream line is identical."""
         self.spark = spark
         self.table_root = table_root
         self.events_dir = events_dir
@@ -160,6 +164,7 @@ class CdcIngestJob:
         self.exactly_once = exactly_once
         self.wire_format = wire_format
         self.wire_row_schema = wire_row_schema
+        self.broker = broker
         self.lineage_dir = os.path.join(table_root, "lineage")
         self.metrics_dir = os.path.join(table_root, "metrics")
         self._events_applied = 0
@@ -298,6 +303,7 @@ class CdcIngestJob:
                 self.wire_format,
                 self.wire_row_schema,
                 self.max_files_per_trigger,
+                broker=self.broker,
             )
         writer = (
             stream.writeStream.foreachBatch(self._apply_batch)

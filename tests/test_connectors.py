@@ -252,6 +252,16 @@ def test_jdbc_dialect_sql_text():
     assert ansi.startswith("MERGE INTO t t USING t_stage s ON") and "WHEN NOT MATCHED" in ansi
     # key-only tables: no UPDATE clause in ANSI merge
     assert "WHEN MATCHED" not in DIALECTS["ansi"].upsert_from_staging("t", "s", ["id"], ["id"])
+    # clickhouse: ReplacingMergeTree upsert is a plain INSERT (no MERGE/ON
+    # CONFLICT exists — JdbcBatchStatementExecutorBuilder.java:100-105) and
+    # delete is the lightweight form (SqlUtils.java:47-55)
+    ch = DIALECTS["clickhouse"].upsert_from_staging("t", "t_stage", cols, key)
+    assert ch == "INSERT INTO t (`id`, `name`, `v`) SELECT `id`, `name`, `v` FROM t_stage"
+    chd = DIALECTS["clickhouse"].delete_from_staging("t", "t_del", key)
+    assert chd == ("DELETE FROM t WHERE (`id`) IN (SELECT `id` FROM t_del) "
+                   "SETTINGS allow_experimental_lightweight_delete = 1")
+    assert "SETTINGS" not in DIALECTS["clickhouse"].delete_from_staging(
+        "t", "t_del", key, lightweight=False)
 
 
 def test_parse_mongo_change_stream(spark):
