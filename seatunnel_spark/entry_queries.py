@@ -1689,3 +1689,100 @@ def dedup_clusters(spark, sf_dir):
     pairs = dedup_docs.minhash_lsh_pairs(docs, k=16, bands=4, max_bucket=10)
     verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
     return dedup_docs.dup_clusters(verified)
+
+
+# DuckDB fragment: 5-word grams of `text` (decontamination grams;
+# matches operators/curation._ngrams(col, 5))
+_DG5 = (
+    f"[array_to_string(list_slice({_DW}, i, i + 4), ' ') "
+    f"FOR i IN range(1, greatest(len({_DW}) - 4, 1) + 1)]"
+)
+
+
+@_reg(
+    "corpus_decontaminate",
+    f"""
+    WITH bg AS (
+      SELECT DISTINCT {_dh48('g', 'contam')} AS gh
+      FROM (SELECT unnest(list_distinct({_DG5})) AS g
+            FROM documents WHERE doc_id % 97 = 0)),
+    dg AS (
+      SELECT doc_id, {_dh48('g', 'contam')} AS gh
+      FROM (SELECT doc_id, unnest(list_distinct({_DG5})) AS g FROM documents)),
+    hits AS (SELECT doc_id, count(*) AS n_overlap
+             FROM dg JOIN bg USING (gh) GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(h.n_overlap, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C / Llama eval-overlap
+    rule): flag training docs sharing any 5-gram with the eval set (here a
+    deterministic held-out slice, doc_id % 97 == 0 — in production the
+    benchmark suites). Broadcast bench grams; the corpus side partial-aggs
+    per doc before its only shuffle."""
+    from seatunnel_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=5)
+
+
+@_reg(
+    "corpus_pack_bins",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source, CAST(len({_DW}) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    p(doc_id, source, n_tokens, rn, acc, bin_id) AS (
+      SELECT doc_id, source, n_tokens, rn, n_tokens, CAST(0 AS BIGINT)
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+             CASE WHEN p.acc + t.n_tokens > 256 THEN t.n_tokens
+                  ELSE p.acc + t.n_tokens END,
+             CASE WHEN p.acc + t.n_tokens > 256 THEN p.bin_id + 1
+                  ELSE p.bin_id END
+      FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
+    SELECT doc_id, source, n_tokens, bin_id FROM p
+    """,
+)
+def corpus_pack_bins(spark, sf_dir):
+    """Greedy sequence packing into 256-token bins per source (training
+    batch construction). Sequential fold per group → applyInPandas (only
+    id + token count cross into Python); the oracle replays the identical
+    greedy rule as a recursive CTE."""
+    from seatunnel_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256)
+
+
+@_reg(
+    "domain_mix_sample",
+    f"""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT sum(n_docs) AS tot,
+                 sum(CAST(floor(sqrt(n_docs) * 1000) AS BIGINT)) AS wsum FROM c),
+    th AS (SELECT source,
+                  least(CAST(1000000 AS BIGINT),
+                        CAST(floor(CAST(floor(sqrt(n_docs) * 1000) AS BIGINT)
+                                   * CAST(floor(tot * 500000 / 1000000) AS BIGINT)
+                                   * 1000000 / (wsum * n_docs)) AS BIGINT)) AS keep_ppm
+           FROM c, t)
+    SELECT d.doc_id, d.source, th.keep_ppm
+    FROM documents d JOIN th USING (source)
+    WHERE ({_dh48('doc_id::VARCHAR', 'mix')} % 1000000) < th.keep_ppm
+    """,
+)
+def domain_mix_sample_q(spark, sf_dir):
+    """Temperature-based domain mixing (alpha=0.5 sqrt re-weighting, the
+    GPT-3/Gopher recipe): per-source keep thresholds in pure integer space
+    (bit-exact across engines), md5 coin per doc — broadcast thresholds,
+    zero corpus shuffle."""
+    from seatunnel_spark.operators.curation import domain_mix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_mix_sample(docs, target_frac_ppm=500_000)

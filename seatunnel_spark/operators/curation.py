@@ -1,0 +1,198 @@
+"""Training-data curation operators: decontamination, sequence packing,
+domain mixing — the steps between "deduped corpus" and "training batches".
+
+All deterministic (md5-derived hashes, integer-space arithmetic) so every
+operator has a bit-exact DuckDB oracle, and all shuffle-conscious:
+
+- decontaminate: benchmark n-gram overlap removal (the GPT-3 appendix-C /
+  Llama eval-contamination rule: drop or flag training docs sharing long
+  n-grams with an evaluation set). The benchmark side is tiny → broadcast;
+  the corpus side aggregates per doc BEFORE the shuffle (partial agg on
+  doc_id reduces each doc's grams to one row in-partition), so the shuffle
+  carries (doc_id, count), never text.
+- pack_sequences: greedy first-fit packing of documents into fixed
+  token-budget bins (sequence packing for training efficiency) — an
+  order-dependent sequential fold, i.e. exactly the per-key
+  ``applyInPandas`` shape; parallel across groups (source), salting
+  unnecessary because bins are per-group by construction.
+- domain_mix_sample: temperature-based source re-weighting (the multinomial
+  mixture rule from GPT-3/Gopher data recipes, alpha=0.5 → sqrt scaling):
+  per-source keep thresholds computed in INTEGER space (floor(sqrt(c)*1000)
+  — IEEE sqrt is correctly rounded, hence bit-identical across engines; all
+  later arithmetic is int64), selection by deterministic md5 coin per doc.
+  Thresholds are a per-source broadcast; the corpus pass is a map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seatunnel_spark.operators.dedup_docs import _h48
+
+
+def _words(col: str) -> F.Column:
+    return F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), " ")
+
+
+def _ngrams(col: str, n: int) -> F.Column:
+    """n-word grams as array<string> (same normalization as the dedup
+    shingles; dedup_docs._shingles is the n=3 case)."""
+    words = _words(col)
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), cnt)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Flag training documents that share any n-gram with the benchmark
+    (evaluation) corpus. Returns every doc: (doc_id, n_overlap,
+    contaminated).
+
+    The benchmark's distinct n-gram hashes are the broadcast side (eval
+    suites are ~10^4-10^6 grams — kilobytes to megabytes); corpus docs
+    explode to distinct grams, inner-join the broadcast set, and re-aggregate
+    on doc_id (map-side combinable: a doc's grams never leave its partition
+    before the partial count). 48-bit hashes keep the shuffle rows tiny and
+    the oracle exact; at 10^9+ benchmark grams widen to the full md5."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(_ngrams(col, n))).alias("g")
+        )
+        .select(_h48(F.col("g"), "contam").alias("gh"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_ngrams(col, n))).alias("g"),
+    ).select(id_col, _h48(F.col("g"), "contam").alias("gh"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+    ]
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Greedy first-fit sequence packing: within each group (source),
+    documents in id order accumulate into bins of at most ``budget``
+    whitespace tokens; a doc that would overflow starts the next bin (a doc
+    alone larger than the budget still gets its own bin). Returns
+    (doc_id, source, n_tokens, bin_id) with bin_id 0-based per group.
+
+    The fold is inherently sequential WITHIN a group (bin state carries
+    forward), so it runs as Arrow-batched ``applyInPandas`` per group —
+    parallel across groups, which is the real parallelism axis (a corpus
+    has many sources/shards; packing order inside one shard is the
+    contract). Only (id, token-count) reach Python — never the text."""
+    slim = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(group_col).cast("string").alias("source"),
+        F.size(_words(col)).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, acc, b = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if acc > 0 and acc + t > budget:
+                b += 1
+                acc = 0
+            bins.append(b)
+            acc += t
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_tokens": pdf["n_tokens"],
+                "bin_id": pd.Series(bins, dtype="int64"),
+            }
+        )
+
+    return slim.groupBy("source").applyInPandas(pack, _PACK_SCHEMA)
+
+
+def domain_mix_thresholds(
+    docs: DataFrame,
+    target_frac_ppm: int = 500_000,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source keep thresholds for sqrt-temperature mixing (alpha=0.5),
+    entirely in integer space: weight w = floor(sqrt(count)*1000) (IEEE
+    sqrt: bit-identical on any engine), target rows N = floor(total *
+    target_frac_ppm / 10^6), keep-per-million = min(10^6,
+    floor(w*N*10^6 / (sum(w)*count))). Returns (source, n_docs,
+    keep_ppm) — a tiny table, broadcast by the sampler."""
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    w = F.floor(F.sqrt(F.col("n_docs")) * 1000).cast("bigint")
+    tot = counts.select(
+        F.sum("n_docs").alias("_tot"), F.sum(w).alias("_wsum")
+    )
+    n_target = F.floor(F.col("_tot") * target_frac_ppm / 1_000_000).cast("bigint")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            F.least(
+                F.lit(1_000_000).cast("bigint"),
+                F.floor(
+                    w * n_target * 1_000_000 / (F.col("_wsum") * F.col("n_docs"))
+                ).cast("bigint"),
+            ).alias("keep_ppm"),
+        )
+    )
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    target_frac_ppm: int = 500_000,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature-resampled corpus: keep a doc iff its md5
+    coin (h48 mod 10^6) falls under its source's keep_ppm threshold. Small
+    sources are up-weighted relative to their share, large ones capped —
+    the sqrt mixture every LLM data recipe uses. One broadcast join + a
+    map-side filter over the corpus: zero corpus shuffle."""
+    th = domain_mix_thresholds(docs, target_frac_ppm, group_col)
+    coin = F.pmod(_h48(F.col(id_col).cast("string"), "mix"), F.lit(1_000_000))
+    return (
+        docs.join(F.broadcast(th), group_col)
+        .where(coin < F.col("keep_ppm"))
+        .select(id_col, group_col, "keep_ppm")
+    )

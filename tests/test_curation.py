@@ -1,0 +1,128 @@
+"""Unit tests for training-data curation: decontamination, sequence
+packing, domain mixing (operators/curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seatunnel_spark.operators import curation
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),   # contains bench gram
+            (2, "totally unrelated words in this document here"),
+            (3, "prefix alpha beta gamma delta epsilon suffix"),  # shares 5-gram
+            (4, "alpha beta gamma"),  # shorter than n: whole text is the gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+           for r in curation.decontaminate(docs, bench, n=5).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)
+    assert out[4] == (0, False)  # 3-word doc produces one 3-word "gram" != bench 5-gram
+    assert len(out) == 4  # every doc present, clean ones included
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    # a doc repeating the bench gram counts it ONCE (distinct grams per doc)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e x a b c d e")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    r = curation.decontaminate(docs, bench, n=5).collect()[0]
+    assert r["n_overlap"] == 1 and r["contaminated"]
+
+
+def test_pack_sequences_greedy_first_fit(spark):
+    docs = spark.createDataFrame(
+        [
+            # source s1: token counts 3, 4, 5, 2 with budget 8 → bins [0,0,1,1]
+            (1, "s1", "w w w"),
+            (2, "s1", "w w w w"),
+            (3, "s1", "w w w w w"),
+            (4, "s1", "w w"),
+            # source s2: one doc larger than budget gets its own bin, then next
+            (10, "s2", "w w w w w w w w w w"),  # 10 > 8 → bin 0 alone
+            (11, "s2", "w w w"),                # bin 1
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: (r["bin_id"], r["n_tokens"])
+           for r in curation.pack_sequences(docs, budget=8).collect()}
+    assert out[1] == (0, 3) and out[2] == (0, 4)    # 3+4=7 <= 8
+    assert out[3] == (1, 5) and out[4] == (1, 2)    # 5 would overflow → new bin
+    assert out[10] == (0, 10)                       # oversized doc: own bin
+    assert out[11] == (1, 3)
+    # bins never exceed budget except single-doc bins
+    from collections import defaultdict
+
+    fills = defaultdict(list)
+    for doc_id, (b, t) in out.items():
+        src = "s1" if doc_id < 10 else "s2"
+        fills[(src, b)].append(t)
+    for (src, b), ts in fills.items():
+        assert sum(ts) <= 8 or len(ts) == 1
+
+
+def test_pack_sequences_plan_is_grouped_pandas(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "w " * (i % 7 + 1)) for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    plan = curation.pack_sequences(docs, budget=10)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # Arrow-batched, not row-at-a-time
+    assert "BatchEvalPython" not in plan
+
+
+def test_domain_mix_thresholds_sqrt_weighting(spark):
+    # source big: 400 docs, source small: 100 docs → sqrt weighting gives
+    # small a sqrt(400/100)=2x larger keep probability (uncapped regime)
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    th = {r["source"]: r["keep_ppm"]
+          for r in curation.domain_mix_thresholds(docs, 500_000).collect()}
+    assert th["small"] > th["big"]
+    assert 1.95 < th["small"] / th["big"] < 2.05
+    # thresholds are capped at 10^6 ppm; extreme imbalance hits the cap
+    assert all(0 <= v <= 1_000_000 for v in th.values())
+    extreme = spark.createDataFrame(
+        [(i, "huge") for i in range(900)] + [(10_000 + i, "tiny") for i in range(4)],
+        "doc_id long, source string",
+    )
+    th_x = {r["source"]: r["keep_ppm"]
+            for r in curation.domain_mix_thresholds(extreme, 500_000).collect()}
+    assert th_x["tiny"] == 1_000_000  # keep everything from the tiny source
+
+    sampled = curation.domain_mix_sample(docs, 500_000)
+    n = sampled.count()
+    assert 0.35 * 500 < n < 0.65 * 500  # md5 coin ≈ target_frac overall
+    by_src = {r["source"]: r["n"] for r in
+              sampled.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # small source keeps a ~2x larger FRACTION of its docs
+    frac_small = by_src.get("small", 0) / 100
+    frac_big = by_src.get("big", 0) / 400
+    assert frac_small > 1.4 * frac_big
+
+    # deterministic: identical second run
+    again = sampled.collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in curation.domain_mix_sample(docs, 500_000).collect()
+    )
+
+
+def test_domain_mix_single_source_keeps_target_frac(spark):
+    docs = spark.createDataFrame(
+        [(i, "only") for i in range(2000)], "doc_id long, source string"
+    )
+    th = curation.domain_mix_thresholds(docs, 250_000).collect()[0]
+    # one source: keep_ppm == floor(target) / n normalization ≈ 250000
+    assert abs(th["keep_ppm"] - 250_000) < 2_000
+    n = curation.domain_mix_sample(docs, 250_000).count()
+    assert 0.2 * 2000 < n < 0.3 * 2000
