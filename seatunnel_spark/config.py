@@ -126,6 +126,34 @@ def _source_df(spark: SparkSession, block: dict) -> DataFrame:
             num_partitions=int(block.get("partition_num", 8)),
             numeric=bool(block.get("partition_column_numeric", True)),
         )
+    if plugin == "Hive":
+        # metastore-less Hive-layout reader (sources/hive.py). The
+        # reference's metastore_uri resolves name→location; here a
+        # file:// URI (or explicit `warehouse`) IS the warehouse root —
+        # thrift:// URIs need a real metastore and raise cleanly.
+        from seatunnel_spark.sources.hive import read_hive_table
+
+        warehouse = block.get("warehouse")
+        uri = block.get("metastore_uri", "")
+        if warehouse is None:
+            if uri.startswith("file://"):
+                warehouse = uri[len("file://"):]
+            elif uri.startswith("thrift://"):
+                raise ConfigError(
+                    "thrift:// metastores need a Hive-enabled Spark session; "
+                    "point metastore_uri at the warehouse (file://...) or set "
+                    "`warehouse` for the metastore-less layout reader"
+                )
+            else:
+                raise ConfigError("Hive source needs metastore_uri or warehouse")
+        return read_hive_table(
+            spark,
+            warehouse,
+            block["table_name"],
+            file_format=block.get("file_format_type", "parquet"),
+            read_partitions=block.get("read_partitions"),
+            read_columns=block.get("read_columns"),
+        )
     if plugin == "LakeTable":
         from seatunnel_spark.lake.table import LakeTable
 
@@ -349,6 +377,33 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 jdbc_upsert_write(upserts, url, target, key, dialect=dialect)
             )
         return {"written": True, "statements": executed}
+    if plugin == "Hive":
+        # HiveSink analog (fakesource_to_hive.conf surface: hive_table_name,
+        # hive_metastore_uris, partition_by, sink_columns) — dynamic
+        # partitioned write into the warehouse layout; same file://-as-
+        # warehouse convention as the source.
+        from seatunnel_spark.sources.hive import write_hive_table
+
+        warehouse = block.get("warehouse")
+        uri = block.get("hive_metastore_uris", block.get("metastore_uri", ""))
+        if warehouse is None:
+            if uri.startswith("file://"):
+                warehouse = uri[len("file://"):]
+            else:
+                raise ConfigError(
+                    "Hive sink needs a file:// hive_metastore_uris (warehouse "
+                    "root) or `warehouse` in the metastore-less layout"
+                )
+        path = write_hive_table(
+            df,
+            warehouse,
+            block.get("hive_table_name") or block["table_name"],
+            partition_by=block.get("partition_by"),
+            sink_columns=block.get("sink_columns"),
+            file_format=block.get("file_format_type", "parquet"),
+            mode=block.get("save_mode", "append"),
+        )
+        return {"written": True, "path": path}
     raise ConfigError(f"unknown sink plugin {plugin!r}")
 
 
