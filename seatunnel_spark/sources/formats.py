@@ -258,3 +258,68 @@ def parse_canal_json(
         "_row.*",
     )
     return out
+
+
+def connect_envelope_schemas(row_schema: T.StructType) -> tuple[T.StructType, T.StructType]:
+    """Kafka Connect JSON wraps rows as {"schema": ..., "payload": ...} where
+    payload is one row object OR an array of rows (reference
+    CompatibleKafkaConnectDeserializationSchema.java:115-124)."""
+    one = T.StructType(
+        [
+            T.StructField("payload", row_schema, True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+    arr = T.StructType(
+        [
+            T.StructField("payload", T.ArrayType(row_schema), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+    return one, arr
+
+
+def parse_connect_json(
+    df: DataFrame, row_schema: T.StructType, value_col: str = "value"
+) -> DataFrame:
+    """Kafka-Connect-compatible JSON → (op, _table, ts_ms, _seq, <row>).
+    Connect sink records are plain rows (no RowKind, no source offset):
+    every row is op='I'. Ordering: Connect envelopes carry no log position,
+    so _seq uses the canal-style bit layout — envelope ts_ms in the high
+    bits, a deterministic 12-bit hash of the raw envelope line as the
+    same-millisecond discriminator, and the row's index within an array
+    payload in the low 10 bits (streaming-safe: every term is a pure
+    per-row expression). On a real broker prefer the Kafka partition/offset
+    as _seq. The ``schema`` half of the envelope is intentionally ignored —
+    the declared ``row_schema`` is authoritative (same stance as the
+    reference, which converts via its declared SeaTunnelRowType)."""
+    one, arr = connect_envelope_schemas(row_schema)
+    env_one = F.from_json(F.col(value_col), one)
+    env_arr = F.from_json(F.col(value_col), arr)
+    rows = F.when(env_arr["payload"].isNotNull(), env_arr["payload"]).otherwise(
+        F.array(env_one["payload"])
+    )
+    ts = F.coalesce(env_arr["ts_ms"], env_one["ts_ms"], F.lit(0))
+    ts_checked = F.when(ts < F.lit(1 << 41), ts).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("connect ts_ms overflows the 22-bit _seq shift (>= 2^41 ms): "),
+                ts.cast("string"),
+            )
+        )
+    )
+    out = df.select(
+        ts.alias("ts_ms"),
+        (
+            F.shiftleft(ts_checked, 22)
+            + F.shiftleft(F.pmod(F.xxhash64(F.col(value_col)), F.lit(4096)), 10)
+        ).alias("_seq0"),
+        F.posexplode(rows).alias("_idx", "_row"),
+    ).where(F.col("_row").isNotNull())
+    return out.select(
+        F.lit("I").alias("op"),
+        F.lit(None).cast("string").alias("_table"),
+        "ts_ms",
+        (F.col("_seq0") + F.col("_idx") % 1024).alias("_seq"),
+        "_row.*",
+    )

@@ -32,16 +32,18 @@ from pyspark.sql import types as T
 from seatunnel_spark.schema import event_schema
 from seatunnel_spark.sources.formats import (
     parse_canal_json,
+    parse_connect_json,
     parse_debezium_json,
     parse_mongo_change_stream,
 )
 
-WIRE_FORMATS = ("debezium-json", "canal-json", "mongodb-json")
+WIRE_FORMATS = ("debezium-json", "canal-json", "mongodb-json", "connect-json")
 
 _PARSERS = {
     "debezium-json": parse_debezium_json,
     "canal-json": parse_canal_json,
     "mongodb-json": parse_mongo_change_stream,
+    "connect-json": parse_connect_json,
 }
 
 

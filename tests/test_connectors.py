@@ -718,3 +718,58 @@ def test_canal_round_trip_keeps_event_time_and_order(spark, tmp_path):
     assert by_name["x"]["ts_ms"] == 2000
     # same-millisecond rows keep their seq order via the id low bits
     assert by_name["old"]["_seq"] < by_name["new"]["_seq"]
+
+
+def test_parse_connect_json_both_payload_shapes(spark):
+    """Kafka-Connect-compatible JSON (seatunnel-format-compatible-connect-
+    json, CompatibleKafkaConnectDeserializationSchema.java:115-124): payload
+    may be one row object or an array of rows; both parse to op='I' rows in
+    arrival order."""
+    from seatunnel_spark.sources.formats import parse_connect_json
+
+    msgs = [
+        json.dumps({"schema": {"type": "struct"},
+                    "payload": {"id": 1, "name": "a"}, "ts_ms": 10}),
+        json.dumps({"schema": {"type": "struct"},
+                    "payload": [{"id": 2, "name": "b"}, {"id": 3, "name": "c"}],
+                    "ts_ms": 11}),
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    out = sorted(parse_connect_json(df, ROW_SCHEMA).collect(),
+                 key=lambda r: r["_seq"])
+    assert [(r["id"], r["name"], r["op"]) for r in out] == [
+        (1, "a", "I"), (2, "b", "I"), (3, "c", "I")]
+    assert out[0]["ts_ms"] == 10 and out[1]["ts_ms"] == 11
+    # arrival order is the _seq order; in-envelope rows keep array order
+    assert out[1]["_seq"] < out[2]["_seq"]
+
+
+def test_connect_json_through_queue_to_lake(spark, tmp_path):
+    """connect-json end-to-end through the queue path: Connect sink records
+    (append-only rows) land as upserts keyed by PK, last arrival wins."""
+    import os
+
+    from seatunnel_spark.lake import LakeTable
+    from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, repo_schema
+    from seatunnel_spark.streaming.job import CdcIngestJob
+
+    lines = [
+        json.dumps({"payload": {"repo": "o/r", "path": "a.py", "commit": "c1",
+                                "lang": "py", "content": "v1"}, "ts_ms": 1}),
+        json.dumps({"payload": [{"repo": "o/r", "path": "b.py", "commit": "c2",
+                                 "lang": "py", "content": "v2"},
+                                {"repo": "o/r", "path": "a.py", "commit": "c3",
+                                 "lang": "py", "content": "v3"}], "ts_ms": 2}),
+    ]
+    topic = str(tmp_path / "topic")
+    os.makedirs(topic)
+    with open(os.path.join(topic, "p0.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    root = str(tmp_path / "t")
+    LakeTable.create(root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    job = CdcIngestJob(spark, root, topic, str(tmp_path / "c"), num_buckets=2,
+                       wire_format="connect-json", wire_row_schema=repo_schema())
+    job.run_incremental(available_now=True, timeout_s=300)
+    got = {r["path"]: r["content"]
+           for r in LakeTable.load(root).scan(spark).collect()}
+    assert got == {"a.py": "v3", "b.py": "v2"}

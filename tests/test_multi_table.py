@@ -210,3 +210,64 @@ def test_multi_table_ddl_routes_to_its_own_table(spark, tmp_path):
     got_b = {r["path"]: r["content"] for r in b.scan(spark).collect()}
     assert got_a == {"a.py": "v3"}   # no junk null-key row, update applied
     assert got_b == {"b.py": "v2"}
+
+
+def test_multi_table_ddl_routes_on_debezium_too(spark, tmp_path):
+    """Round 4: debezium schema-change envelopes (the more common wire
+    format) route DDL to THEIR table in a multi-table stream, exactly like
+    the canal sibling above — including a post-DDL update carrying the new
+    column through the `extra` superset map."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from seatunnel_spark.schema import repo_schema
+    from seatunnel_spark.sources.queue import read_changelog_stream
+
+    topic_dir = str(tmp_path / "topic")
+    os.makedirs(topic_dir)
+    row_schema = T.StructType(
+        repo_schema().fields + [T.StructField("stars", T.IntegerType(), True)]
+    )
+
+    def env(i, op, tbl, row):
+        return _json.dumps({"before": None, "after": row, "op": op, "ts_ms": i,
+                            "source": {"table": tbl, "db": "d", "seq": i}})
+
+    lines = [
+        env(1, "c", "alpha", {"repo": "o/r", "path": "a.py", "commit": "c1",
+                              "lang": "py", "content": "v1", "stars": None}),
+        env(2, "c", "beta", {"repo": "o/r", "path": "b.py", "commit": "c2",
+                             "lang": "py", "content": "v2", "stars": None}),
+        _json.dumps({"ts_ms": 3, "source": {"table": "alpha", "db": "d", "seq": 3},
+                     "ddl": "ALTER TABLE alpha ADD COLUMN stars INT",
+                     "tableChanges": [{"type": "ALTER", "id": '"d"."alpha"'}]}),
+        env(4, "u", "alpha", {"repo": "o/r", "path": "a.py", "commit": "c3",
+                              "lang": "py", "content": "v3", "stars": 42}),
+    ]
+    with open(os.path.join(topic_dir, "p0.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    tables = {
+        name: LakeTable.create(str(tmp_path / name), REPO_FIELDS, REPO_KEY,
+                               num_buckets=2)
+        for name in ("alpha", "beta")
+    }
+    stream = read_changelog_stream(
+        spark, topic_dir, "debezium-json", row_schema, keep_table=True
+    )
+    from seatunnel_spark.streaming.multi_table import MultiTableRouter
+
+    router = MultiTableRouter(spark, tables)
+    router.run_stream(stream, str(tmp_path / "ckpt"), available_now=True,
+                      timeout_s=300)
+
+    a = LakeTable.load(str(tmp_path / "alpha"))
+    b = LakeTable.load(str(tmp_path / "beta"))
+    assert "stars" in [f["name"] for f in a.schema_fields()]
+    assert "stars" not in [f["name"] for f in b.schema_fields()]
+    got_a = {r["path"]: (r["content"], r["stars"]) for r in a.scan(spark).collect()}
+    assert got_a == {"a.py": ("v3", 42)}
+    got_b = {r["path"]: r["content"] for r in b.scan(spark).collect()}
+    assert got_b == {"b.py": "v2"}
