@@ -78,7 +78,10 @@ def run_cdc_replay(spark) -> dict:
         events_dir=paths["events"],
         checkpoint_dir=os.path.join(work, "ckpt"),
         num_buckets=32,
-        max_files_per_trigger=4,
+        # 2 micro-batches (16 fixture files / 8): per-batch driver-side fixed
+        # costs don't parallelize — round 4's sweep found fpt=8 the sweet
+        # spot (fpt=16's single batch loses trigger pipelining)
+        max_files_per_trigger=8,
         total_events=CDC_EVENTS,
     )
     base_df = spark.read.parquet(paths["base"])

@@ -43,6 +43,12 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--n4", type=int, default=4)
     ap.add_argument("--also", default="8,32", help="extra core counts for the curve, comma-sep")
+    # 2 micro-batches (16 fixture files / 8) won round 4's sweep: per-batch
+    # driver-side fixed costs (commit, planning, metadata) do not
+    # parallelize, so they weigh 4x more at 4N cores — fpt=8 beat fpt=4 by
+    # ~6% at local[4] while local[1] stayed within its run variance; ONE
+    # giant batch (fpt=16) was worse than both (loses trigger pipelining).
+    ap.add_argument("--files-per-trigger", type=int, default=8)
     args = ap.parse_args()
 
     from seatunnel_spark.sources import generator as gen
@@ -58,7 +64,8 @@ def main() -> None:
     extra = [int(c) for c in args.also.split(",") if c.strip()]
     for c in [args.n, args.n4, *extra]:
         wd = f"/dev/shm/cdc/sb_{c}" if tmpfs else str(cache / f"sb_{c}")
-        curve[c] = run_once(c, args.events, str(fixture), wd, "24g", tmpfs)
+        curve[c] = run_once(c, args.events, str(fixture), wd, "24g", tmpfs,
+                            files_per_trigger=args.files_per_trigger)
         print(f"cores={c}: wall={curve[c]['wall_s']}s thr={curve[c]['events_per_sec']} "
               f"verified={curve[c]['sha256_verified']}", file=sys.stderr)
     kill_stray_spark()
@@ -91,7 +98,8 @@ def main() -> None:
 Protocol (BASELINE.md): identical job, identical input ({args.events:,}
 change events over a {args.base:,}-key base table), run via
 `spark-submit --master local[N] --py-files seatunnel_spark.zip
-tools/replay_job.py`. Each run performs the full snapshot→incremental
+tools/replay_job.py --files-per-trigger {args.files_per_trigger}`. Each run
+performs the full snapshot→incremental
 replay and verifies the final table by per-row sha256(content) aggregate
 equality against an independent one-shot reduction of base ∪ log.
 
