@@ -4,9 +4,10 @@
 ``queries()`` / ``oracle_sql()`` — the operator registry lives in
 ``seatunnel_spark.entry_queries``; every implemented operator from
 SURVEY.md §2 (CDC source/sink semantics, transforms, Zeta functions,
-analytics heads, and the training-data suite) has an entry, and all but the
-one genuinely non-SQL one (the mapInPandas media featurizer, whose decode
-stage is an honest container-limit stub) carry a DuckDB oracle.
+analytics heads, and the training-data + curation suites) has an entry,
+and every one of the 55 carries a DuckDB oracle (including the mapInPandas
+media featurizer over its deterministic fake — the real codec remains an
+honest container-limit stub).
 """
 
 from __future__ import annotations

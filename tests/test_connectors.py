@@ -773,3 +773,43 @@ def test_connect_json_through_queue_to_lake(spark, tmp_path):
     got = {r["path"]: r["content"]
            for r in LakeTable.load(root).scan(spark).collect()}
     assert got == {"a.py": "v3", "b.py": "v2"}
+
+
+def test_delimited_text_format_roundtrip(spark, tmp_path):
+    """seatunnel-format-text parity (TextDeserializationSchema /
+    TextSerializationSchema, TextFormatConstant.SEPARATOR): typed rows as
+    \\x01-delimited lines with \\x02/\\x03 nesting for arrays and maps;
+    nulls as empty; custom delimiters incl. regex metachars."""
+    from seatunnel_spark.sources.files import (
+        read_delimited_text,
+        write_delimited_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alice", 3.5, True, ["a", "b"], {"k1": 10, "k2": 20}),
+            (2, None, None, None, None, None),
+        ],
+        "id long, name string, score double, ok boolean, "
+        "tags array<string>, counts map<string, int>",
+    )
+    p = str(tmp_path / "txt")
+    write_delimited_text(df, p)
+    back = read_delimited_text(spark, p, df.schema)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["name"] == "alice" and rows[1]["score"] == 3.5
+    assert rows[1]["ok"] is True
+    assert rows[1]["tags"] == ["a", "b"]
+    assert rows[1]["counts"] == {"k1": 10, "k2": 20}
+    # nulls round-trip as NULL for typed fields ("" stays "" for strings)
+    assert rows[2]["score"] is None and rows[2]["ok"] is None
+    assert rows[2]["counts"] is None
+
+    # custom delimiter that is a regex metachar must be treated literally
+    p2 = str(tmp_path / "pipe")
+    flat = df.select("id", "name", "score")
+    write_delimited_text(flat, p2, field_delimiter="|")
+    back2 = read_delimited_text(spark, p2, flat.schema, field_delimiter="|")
+    got = {r["id"]: (r["name"], r["score"]) for r in back2.collect()}
+    assert got[1] == ("alice", 3.5)
