@@ -109,9 +109,29 @@ def _source_df(spark: SparkSession, block: dict) -> DataFrame:
     if plugin == "FakeSource":
         return fake_source(spark, block)
     if plugin == "LocalFile":
+        fmt = block.get("file_format_type", "parquet")
+        if fmt == "text" and (block.get("schema") or {}).get("fields"):
+            # the reference's typed text format (field_delimiter + declared
+            # schema — seatunnel-format-text), not Spark's one-column text
+            from pyspark.sql.types import _parse_datatype_string
+
+            from seatunnel_spark.sources.files import (
+                TEXT_SEPARATORS,
+                read_delimited_text,
+            )
+
+            ddl = ", ".join(
+                f"{n} {t}" for n, t in block["schema"]["fields"].items()
+            )
+            return read_delimited_text(
+                spark,
+                block["path"],
+                _parse_datatype_string(ddl),
+                field_delimiter=block.get("field_delimiter", TEXT_SEPARATORS[0]),
+            )
         return read_file_source(
             spark,
-            block.get("file_format_type", "parquet"),
+            fmt,
             block["path"],
             options=block.get("options"),
         )
@@ -223,9 +243,20 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
             field_rules=field_rules,
         )
     if plugin == "LocalFile":
+        fmt = block.get("file_format_type", "parquet")
+        if fmt == "text" and block.get("field_delimiter"):
+            from seatunnel_spark.sources.files import write_delimited_text
+
+            write_delimited_text(
+                df,
+                block["path"],
+                field_delimiter=block["field_delimiter"],
+                save_mode=block.get("save_mode", "error_if_exists"),
+            )
+            return {"written": True, "path": block["path"]}
         write_file_sink(
             df,
-            block.get("file_format_type", "parquet"),
+            fmt,
             block["path"],
             save_mode=block.get("save_mode", "error_if_exists"),
             partition_by=block.get("partition_by"),

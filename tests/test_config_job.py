@@ -620,3 +620,51 @@ def test_fake_source_changelog_rows(spark):
     with _pytest.raises(ConfigError, match="fields"):
         fake_source(spark, {"schema": {"fields": {"id": "bigint"}},
                             "rows": [{"kind": "INSERT", "fields": [1, 2]}]})
+
+
+def test_localfile_typed_text_format_through_config(spark, tmp_path):
+    """A text-format .conf with field_delimiter + declared schema reads the
+    reference's typed delimiter-text (seatunnel-format-text), not Spark's
+    one-column text; and the sink side writes it."""
+    from seatunnel_spark.config import run_job
+    from seatunnel_spark.hocon import load_job_config
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    conf = """
+    env { job.mode = "BATCH" }
+    source {
+      FakeSource { result_table_name = "t"  row.num = 8
+                   schema = { fields { id = bigint  name = string } } }
+    }
+    sink {
+      LocalFile { file_format_type = "text"  field_delimiter = "|"
+                  path = "%s" }
+    }
+    """ % src
+    run_job(spark, load_job_config(conf))
+    line = spark.read.text(src).collect()[0]["value"]
+    assert line.count("|") == 1  # two fields, one delimiter
+
+    conf2 = """
+    env { job.mode = "BATCH" }
+    source {
+      LocalFile { result_table_name = "t"  file_format_type = "text"
+                  field_delimiter = "|"  path = "%s"
+                  schema = { fields { id = bigint  name = string } } }
+    }
+    sink { Assert { source_table_name = "t"  rules { min_rows = 8 } } }
+    """ % src
+    run_job(spark, load_job_config(conf2))
+    # sanity: typed read gives the declared dtypes back
+    from pyspark.sql.types import _parse_datatype_string
+
+    from seatunnel_spark.sources.files import read_delimited_text
+
+    back = read_delimited_text(
+        spark, src, _parse_datatype_string("id bigint, name string"),
+        field_delimiter="|",
+    )
+    assert dict(back.dtypes) == {"id": "bigint", "name": "string"}
+    assert back.count() == 8
+    _ = out
