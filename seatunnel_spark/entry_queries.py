@@ -1786,3 +1786,65 @@ def domain_mix_sample_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return domain_mix_sample(docs, target_frac_ppm=500_000)
+
+
+def _make_embedding_dedup_clusters_query():
+    """Embedding-side capstone (round 4): LSH near-dup pairs (capped,
+    identical to ann_lsh_pairs) → connected components → one canonical
+    vector per cluster — the embedding twin of dedup_clusters, closing the
+    similarity-search + dedup loop. The oracle reuses the pairs CTE plus
+    the recursive min-label reachability the text-side capstone uses."""
+    from seatunnel_spark.operators.similarity import _hyperplane
+
+    dim, planes, threshold, cap = 64, 4, 0.3, 64
+    hps = [_hyperplane(dim, p) for p in range(planes)]
+    sign_terms_sql = " + ".join(
+        f"(CASE WHEN round(list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(v) for v in hp)}]::DOUBLE[]), 6) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, hp in enumerate(hps)
+    )
+    sql = f"""
+    WITH RECURSIVE sigs AS (
+      SELECT vec_id, embedding, ({sign_terms_sql}) AS lsh_sig FROM embeddings
+    ),
+    small AS (
+      SELECT lsh_sig FROM sigs GROUP BY lsh_sig HAVING count(*) <= {cap}
+    ),
+    capped AS (SELECT s.* FROM sigs s JOIN small USING (lsh_sig)),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM capped a JOIN capped b
+        ON a.lsh_sig = b.lsh_sig AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 8) >= {threshold}
+    ),
+    edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+              UNION SELECT vec_b, vec_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (node = min(lbl)) AS is_canonical
+    FROM reach GROUP BY node
+    """
+
+    def q(spark, sf_dir):
+        from seatunnel_spark.operators.similarity import lsh_near_dup_pairs
+
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        pairs = lsh_near_dup_pairs(
+            emb, dim, planes=planes, threshold=threshold,
+            max_bucket=cap, round_dp=6,
+        )
+        return dedup_docs.dup_clusters(pairs, a_col="vec_a", b_col="vec_b")
+
+    return q, sql
+
+
+_emb_clusters_q, _emb_clusters_sql = _make_embedding_dedup_clusters_query()
+QUERIES["embedding_dedup_clusters"] = _emb_clusters_q
+ORACLES["embedding_dedup_clusters"] = _emb_clusters_sql
