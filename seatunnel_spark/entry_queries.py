@@ -1848,3 +1848,31 @@ def _make_embedding_dedup_clusters_query():
 _emb_clusters_q, _emb_clusters_sql = _make_embedding_dedup_clusters_query()
 QUERIES["embedding_dedup_clusters"] = _emb_clusters_q
 ORACLES["embedding_dedup_clusters"] = _emb_clusters_sql
+
+
+@_reg(
+    "text_line_stats",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lns,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             length(replace(text, '...', '~')) - length(replace(text, '...', '')) AS n_ell
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           round(len(list_filter(lns, x -> regexp_matches(trim(x), '^[-*•]')))::DOUBLE
+                 / len(lns), 6) AS bullet_line_frac,
+           round(len(list_filter(lns, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))::DOUBLE
+                 / len(lns), 6) AS ellipsis_line_frac,
+           round((n_hash + n_ell)::DOUBLE / len(ws), 6) AS symbol_word_ratio
+    FROM s
+    """,
+)
+def text_line_stats(spark, sf_dir):
+    """Line-level Gopher quality filters (bullet/ellipsis line fractions,
+    symbol-to-word ratio) — pure codegen'd expressions, no explode, no
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.line_stats(docs)

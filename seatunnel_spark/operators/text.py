@@ -158,3 +158,41 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", col: str = "text") -
         ).alias("dup_2gram_frac"),
         F.round(F.col("top_c") / F.col("n_words"), 6).alias("top_word_frac"),
     )
+
+
+def line_stats(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """Line-level quality signals — the remaining Gopher document filters
+    (the word-level ones live in quality_score/repetition_stats):
+
+    - ``n_lines``: newline-split line count
+    - ``bullet_line_frac``: fraction of lines starting with a bullet
+      marker (-, *, •) — boilerplate/list-dump detector
+    - ``ellipsis_line_frac``: fraction of lines ending with "..." or "…"
+      — truncated-scrape detector
+    - ``symbol_word_ratio``: (# or ... occurrences) / words — the Gopher
+      symbol-to-word rule
+
+    Pure codegen'd expressions over the line array: no explode, no
+    shuffle — a narrow map the scan pipeline absorbs."""
+    lines = F.split(F.col(col), "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    words = F.split(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "), " ")
+    n_words = F.size(words)
+    n_hash = F.length(F.col(col)) - F.length(F.regexp_replace(F.col(col), "#", ""))
+    n_ell = (
+        F.length(F.regexp_replace(F.col(col), r"\.\.\.", "~"))
+        - F.length(F.regexp_replace(F.col(col), r"\.\.\.", ""))
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("bigint").alias("n_lines"),
+        F.round(bullet / n_lines, 6).alias("bullet_line_frac"),
+        F.round(ellipsis / n_lines, 6).alias("ellipsis_line_frac"),
+        F.round((n_hash + n_ell) / n_words, 6).alias("symbol_word_ratio"),
+    )

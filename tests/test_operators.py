@@ -445,3 +445,24 @@ def test_distributed_rank_no_single_partition_sort(spark):
     # empty sample degrades cleanly
     empty, n0 = _distributed_rank(df.where(F.lit(False)), "k")
     assert n0 == 0 and empty.count() == 0
+
+
+def test_line_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "- first bullet\n- second bullet\nplain line"),
+            (2, "a sentence that trails off...\nand another one…\nnormal"),
+            (3, "has # two # hashes and one... ellipsis here"),
+            (4, "just plain text"),
+        ],
+        "doc_id long, text string",
+    )
+    from seatunnel_spark.operators import text as text_mod
+
+    got = {r["doc_id"]: r for r in text_mod.line_stats(df).collect()}
+    assert got[1]["n_lines"] == 3
+    assert abs(got[1]["bullet_line_frac"] - 2 / 3) < 1e-6
+    assert abs(got[2]["ellipsis_line_frac"] - 2 / 3) < 1e-6
+    assert got[3]["symbol_word_ratio"] > 0.3  # 2 hashes + 1 "..." over 8 words
+    assert got[4]["bullet_line_frac"] == 0.0
+    assert got[4]["symbol_word_ratio"] == 0.0
