@@ -5,7 +5,7 @@
 ``seatunnel_spark.entry_queries``; every implemented operator from
 SURVEY.md §2 (CDC source/sink semantics, transforms, Zeta functions,
 analytics heads, and the training-data + curation suites) has an entry,
-and every one of the 57 carries a DuckDB oracle (including the mapInPandas
+and every one of the 58 carries a DuckDB oracle (including the mapInPandas
 media featurizer over its deterministic fake — the real codec remains an
 honest container-limit stub).
 """

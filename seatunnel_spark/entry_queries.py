@@ -1876,3 +1876,97 @@ def text_line_stats(spark, sf_dir):
     shuffle."""
     docs = _t(spark, sf_dir, "documents")
     return text.line_stats(docs)
+
+
+@_reg(
+    "corpus_clean_strict",
+    f"""
+    WITH RECURSIVE
+    {{MINHASH_CTES}},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+              UNION SELECT doc_b, doc_a FROM verified),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    non_canon AS (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(lbl)
+    ),
+    w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+    wc AS (SELECT doc_id, t, count(*) AS c
+           FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2),
+    wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                      round(1 - count(*) / sum(c)::DOUBLE, 6) AS dup_word_frac,
+                      round(max(c) / sum(c)::DOUBLE, 6) AS top_word_frac
+               FROM wc GROUP BY 1),
+    bg AS (
+      SELECT DISTINCT {_dh48('g', 'contam')} AS gh
+      FROM (SELECT unnest(list_distinct({_DG5})) AS g
+            FROM documents WHERE doc_id % 97 = 0)),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, {_dh48('g', 'contam')} AS gh
+            FROM (SELECT doc_id, unnest(list_distinct({_DG5})) AS g FROM documents))
+      JOIN bg USING (gh)),
+    sym AS (
+      SELECT doc_id,
+             round((length(text) - length(replace(text, '#', ''))
+                    + length(replace(text, '...', '~')) - length(replace(text, '...', '')))::DOUBLE
+                   / len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')),
+                   6) AS symbol_word_ratio
+      FROM documents)
+    SELECT d.doc_id, d.lang, d.source, s.n_words, s.dup_word_frac
+    FROM documents d JOIN wstats s USING (doc_id) JOIN sym USING (doc_id)
+    WHERE d.n_chars >= 150 AND s.n_words >= 30
+      AND s.dup_word_frac <= 0.6 AND s.top_word_frac <= 0.12
+      AND sym.symbol_word_ratio <= 0.1
+      AND d.doc_id NOT IN (SELECT doc_id FROM non_canon)
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """.replace("{MINHASH_CTES}", _MINHASH_PAIRS_CTES),
+)
+def corpus_clean_strict(spark, sf_dir):
+    """The COMPLETE preprocessing recipe in one composed plan — round 4's
+    capstone over the capstone: corpus_clean's gates (quality ∧ repetition
+    ∧ near-dup canonical-only) PLUS the symbol-ratio line gate and
+    benchmark decontamination (docs sharing any 5-gram with the held-out
+    eval slice are dropped — which removes the eval slice itself too, the
+    intended train/eval split hygiene). Composition stays scale-shaped:
+    every gate is a codegen'd expression or a broadcast anti-join against
+    a tiny id set; the only wide work is unchanged from corpus_clean."""
+    from seatunnel_spark.operators.curation import decontaminate
+    from seatunnel_spark.operators.text import line_stats, repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_stats(docs)
+    sym = line_stats(docs).select("doc_id", "symbol_word_ratio")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    contaminated = (
+        decontaminate(docs, bench, n=5)
+        .where(F.col("contaminated"))
+        .select("doc_id")
+    )
+    pairs = dedup_docs.minhash_lsh_pairs(docs, k=16, bands=4, max_bucket=10)
+    verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
+    non_canon = (
+        dedup_docs.dup_clusters(verified)
+        .where(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(rep, "doc_id")
+        .join(sym, "doc_id")
+        .where(
+            (F.col("n_chars") >= 150)
+            & (F.col("n_words") >= 30)
+            & (F.col("dup_word_frac") <= 0.6)
+            & (F.col("top_word_frac") <= 0.12)
+            & (F.col("symbol_word_ratio") <= 0.1)
+        )
+        .join(non_canon, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_words", "dup_word_frac")
+    )
