@@ -149,6 +149,12 @@ SCALEUP_HEADS = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "corpus_clean",
+    # round-4 additions: the full strict recipe (adds decontamination's
+    # broadcast gram join) and the curation trio
+    "corpus_clean_strict",
+    "corpus_decontaminate",
+    "corpus_pack_bins",
+    "domain_mix_sample",
 ]
 SCALEUP_FACTOR = int(os.environ.get("BENCH_SCALEUP_FACTOR", "10"))
 
@@ -251,6 +257,12 @@ def main() -> None:
             samples.sort()
             med = round(samples[len(samples) // 2], 3)
             base = q_times.get(name)
+            if base is None:
+                # head not in the headline suite: one timed run at the base
+                # SF supplies the linear-scaling denominator
+                t0 = time.time()
+                fn(spark, SF_DIR).count()
+                base = round(time.time() - t0, 3)
             # ratio vs LINEAR scaling expectation (factor x the sf0.1 median):
             # <=1 is at-or-better-than-linear; the verdict's bar is <=2
             ratio = round(med / (base * SCALEUP_FACTOR), 3) if base else None
