@@ -1768,9 +1768,10 @@ def corpus_pack_bins(spark, sf_dir):
                  sum(CAST(floor(sqrt(n_docs) * 1000) AS BIGINT)) AS wsum FROM c),
     th AS (SELECT source,
                   least(CAST(1000000 AS BIGINT),
-                        CAST(floor(CAST(floor(sqrt(n_docs) * 1000) AS BIGINT)
-                                   * CAST(floor(tot * 500000 / 1000000) AS BIGINT)
-                                   * 1000000 / (wsum * n_docs)) AS BIGINT)) AS keep_ppm
+                        CAST(CAST(CAST(floor(sqrt(n_docs) * 1000) AS BIGINT) AS HUGEINT)
+                             * (CAST(tot AS HUGEINT) * 500000 // 1000000)
+                             * 1000000
+                             // (CAST(wsum AS HUGEINT) * n_docs) AS BIGINT)) AS keep_ppm
            FROM c, t)
     SELECT d.doc_id, d.source, th.keep_ppm
     FROM documents d JOIN th USING (source)

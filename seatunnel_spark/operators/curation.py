@@ -158,21 +158,43 @@ def domain_mix_thresholds(
     floor(w*N*10^6 / (sum(w)*count))). Returns (source, n_docs,
     keep_ppm) — a tiny table, broadcast by the sampler."""
     counts = docs.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    return thresholds_from_counts(counts, target_frac_ppm, group_col)
+
+
+def thresholds_from_counts(
+    counts: DataFrame,
+    target_frac_ppm: int = 500_000,
+    group_col: str = "source",
+) -> DataFrame:
+    """Threshold arithmetic over a pre-computed (group, n_docs) table —
+    split out so the overflow-safety of the math is testable at fabricated
+    web-corpus scales (10^9-10^12 docs) without materializing rows."""
     w = F.floor(F.sqrt(F.col("n_docs")) * 1000).cast("bigint")
     tot = counts.select(
         F.sum("n_docs").alias("_tot"), F.sum(w).alias("_wsum")
     )
-    n_target = F.floor(F.col("_tot") * target_frac_ppm / 1_000_000).cast("bigint")
+    # w*N*10^6 reaches ~10^27 on a 10^12-doc corpus — far past int64 (it
+    # overflows around 7M docs, silently wrapping keep_ppm negative with
+    # ANSI off). Widen to decimal(38,0) and use the integral `div` operator
+    # throughout: exact truncating division, no float/decimal rounding at
+    # quotient boundaries (n_target via double `/` would already lose
+    # exactness past 2^53). The DuckDB oracle mirrors this with HUGEINT
+    # `//`. decimal(38,0) holds 10^38: headroom to ~10^17 docs.
+    dec = "decimal(38,0)"
+    n_target = F.expr(
+        f"(CAST(_tot AS {dec}) * {target_frac_ppm}) div 1000000"
+    ).cast(dec)
+    num = (w.cast(dec) * n_target * F.lit(1_000_000).cast(dec)).alias("_num")
+    den = (F.col("_wsum").cast(dec) * F.col("n_docs").cast(dec)).alias("_den")
     return (
         counts.crossJoin(F.broadcast(tot))
+        .select(F.col(group_col), F.col("n_docs"), num, den)
         .select(
             group_col,
             "n_docs",
             F.least(
                 F.lit(1_000_000).cast("bigint"),
-                F.floor(
-                    w * n_target * 1_000_000 / (F.col("_wsum") * F.col("n_docs"))
-                ).cast("bigint"),
+                F.expr("CAST(_num div _den AS BIGINT)"),
             ).alias("keep_ppm"),
         )
     )

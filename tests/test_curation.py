@@ -117,6 +117,29 @@ def test_domain_mix_thresholds_sqrt_weighting(spark):
     )
 
 
+def test_domain_mix_thresholds_web_scale_no_overflow(spark):
+    # w*N*10^6 used to be int64 arithmetic, which wraps negative past ~7M
+    # docs (silently dropping whole sources). Feed fabricated counts at
+    # web-corpus scale (10^9-10^12 docs per source) and compare against
+    # exact Python big-int math.
+    import math
+
+    counts = [("cc", 1_200_000_000_000), ("github", 9_000_000_000),
+              ("wiki", 60_000_000), ("books", 7_500_000), ("tiny", 12_345)]
+    df = spark.createDataFrame(counts, "source string, n_docs long")
+    got = {r["source"]: r["keep_ppm"]
+           for r in curation.thresholds_from_counts(df, 500_000).collect()}
+
+    ws = {s: int(math.floor(math.sqrt(n) * 1000)) for s, n in counts}
+    tot = sum(n for _, n in counts)
+    wsum = sum(ws.values())
+    n_target = tot * 500_000 // 1_000_000
+    want = {s: min(1_000_000, ws[s] * n_target * 1_000_000 // (wsum * n))
+            for s, n in counts}
+    assert got == want
+    assert all(0 <= v <= 1_000_000 for v in got.values())  # never negative
+
+
 def test_domain_mix_single_source_keeps_target_frac(spark):
     docs = spark.createDataFrame(
         [(i, "only") for i in range(2000)], "doc_id long, source string"
