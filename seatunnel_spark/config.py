@@ -64,7 +64,7 @@ def fake_source(spark: SparkSession, opts: dict) -> DataFrame:
         kind_map = {"INSERT": "I", "UPDATE_AFTER": "U",
                     "UPDATE_BEFORE": "-U", "DELETE": "D"}
         data = []
-        for r in opts["rows"]:
+        for i, r in enumerate(opts["rows"]):
             kind = str(r.get("kind", "INSERT"))
             if kind not in kind_map:
                 raise ConfigError(f"FakeSource row kind {kind!r} unknown")
@@ -73,9 +73,14 @@ def fake_source(spark: SparkSession, opts: dict) -> DataFrame:
                 raise ConfigError(
                     f"FakeSource row needs {len(fields)} fields, got {vals!r}"
                 )
-            data.append(tuple(vals) + (kind_map[kind],))
+            # seq = declared row order: the changelog is ordered, and the
+            # LWW reduce at merge sinks must break same-key ties by that
+            # order (the reference buffers rows in a LinkedHashMap — later
+            # rows overwrite earlier). Without it an UPDATE_BEFORE or stale
+            # INSERT image could arbitrarily beat the UPDATE_AFTER.
+            data.append(tuple(vals) + (kind_map[kind], i))
         ddl = ", ".join(f"{name} {typ}" for name, typ in fields.items())
-        return spark.createDataFrame(data, ddl + ", op string")
+        return spark.createDataFrame(data, ddl + ", op string, seq bigint")
     df = spark.range(n).withColumnRenamed("id", "_row")
     cols = []
     # value ranges per integral type — generated values must fit the cast
@@ -288,8 +293,14 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
         batch = df
         if "op" not in batch.columns:
             batch = batch.withColumn("op", F.lit("I"))
+        # the reference sink skips UPDATE_BEFORE rows outright
+        # (BufferReducedBatchStatementExecutor.java:56-58) — without this
+        # the before-image would be applied as a regular upsert by the MERGE
+        batch = batch.where(F.col("op") != "-U")
         if "seq" not in batch.columns:
-            batch = batch.withColumn("seq", F.lit(0).cast("long"))
+            # arrival order is the LWW order (same convention as the
+            # Clickhouse branch below)
+            batch = batch.withColumn("seq", F.monotonically_increasing_id())
         # idempotent replay is OPT-IN via an explicit epoch_id (e.g. a date
         # partition tag); the default is a fresh epoch per run — a daily job
         # with a constant epoch would silently skip every run after the first
@@ -316,8 +327,10 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
         batch = df
         if "op" not in batch.columns:
             batch = batch.withColumn("op", F.lit("I"))
+        # skip UPDATE_BEFORE images — same contract as the LakeTable branch
+        batch = batch.where(F.col("op") != "-U")
         if "seq" not in batch.columns:
-            batch = batch.withColumn("seq", F.lit(0).cast("long"))
+            batch = batch.withColumn("seq", F.monotonically_increasing_id())
         cols = [c for c in batch.columns if c not in ("op", "seq")]
         fields = [(n, t) for n, t in batch.dtypes if n not in ("op", "seq")]
         if dry:
@@ -394,7 +407,10 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
 
             deletes.write.format("jdbc").option("url", url).option(
                 "dbtable", f"{target}_DEL_STAGE"
-            ).option("truncate", "true").mode("overwrite").save()
+            ).option("truncate", "true").option(
+                # ClickHouse rejects engineless CREATE TABLE (see dialect)
+                "createTableOptions", dialect.staging_create_options
+            ).mode("overwrite").save()
             conn = driver_connection(df.sparkSession, url)
             try:
                 st = conn.createStatement()

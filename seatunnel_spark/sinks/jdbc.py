@@ -32,6 +32,9 @@ class AnsiMergeDialect:
     """MERGE INTO (ANSI / Derby / Oracle / SQLServer-style)."""
 
     name = "ansi"
+    # extra CREATE TABLE suffix for staging tables (createTableOptions) —
+    # dialects whose server rejects a bare CREATE TABLE override this
+    staging_create_options: str | None = None
 
     def q(self, ident: str) -> str:
         return '"' + ident.replace('"', '""') + '"'
@@ -150,6 +153,11 @@ class ClickhouseDialect(AnsiMergeDialect):
     LWW-reduced batches (one row per key) so insert-as-upsert is exact."""
 
     name = "clickhouse"
+    # ClickHouse rejects CREATE TABLE without an ENGINE clause, and Spark's
+    # JDBC writer emits none — staging tables need it appended via
+    # createTableOptions. MergeTree with an empty sort key is the cheapest
+    # engine that supports the set-based upsert/delete reads that follow.
+    staging_create_options = "ENGINE = MergeTree() ORDER BY tuple()"
 
     def q(self, ident: str) -> str:
         return "`" + ident.replace("`", "\\`") + "`"
@@ -221,6 +229,8 @@ def jdbc_upsert_write(
     )
     if staging_column_types:
         writer = writer.option("createTableColumnTypes", staging_column_types)
+    if dialect.staging_create_options:
+        writer = writer.option("createTableOptions", dialect.staging_create_options)
     writer.save()
 
     sql = dialect.upsert_from_staging(target, staging, cols, key)

@@ -114,7 +114,15 @@ def read_delimited_text(
     ``field_delimiter``, arrays by the level-2 separator, map entries by
     level-2 with key/value at level-3 — the reference's separator
     hierarchy. Empty strings parse as NULL for non-string scalars (the
-    reference's lenient primitive parse)."""
+    reference's lenient primitive parse).
+
+    Known conflation, shared with the reference wire format: text has no
+    null marker, so a NULL collection and an EMPTY collection both
+    serialize as '' and both read back as NULL (likewise '' vs NULL
+    string: both read as ''). A round-trip therefore maps empty
+    array/map → NULL. This matches TextSerializationSchema (nulls and
+    empties are indistinguishable on the wire); callers needing the
+    distinction should use a self-describing format (json/parquet/orc)."""
     from pyspark.sql import functions as F
 
     raw = spark.read.text(path)
@@ -157,7 +165,8 @@ def write_delimited_text(
 ) -> None:
     """Typed delimiter-text write (TextSerializationSchema parity): nulls
     serialize as empty, arrays join on the level-2 separator, maps as
-    k<sep3>v entries on level-2."""
+    k<sep3>v entries on level-2. NULL and empty collections/strings are
+    indistinguishable on this wire (see read_delimited_text docstring)."""
     from pyspark.sql import functions as F
 
     if save_mode not in SAVE_MODES:

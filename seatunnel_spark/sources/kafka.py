@@ -14,9 +14,18 @@ dialect-as-text pattern as ``lake/iceberg.py`` and ``sinks/jdbc.py``, unit-
 tested without a broker (this sandbox ships no Kafka jar or broker; the
 queue e2e runs through the file-backed stand-in unchanged).
 
-GROUP_OFFSETS maps to ``kafka.group.id``: Spark then honors the group's
-committed offsets on first start (and its own checkpoint thereafter —
-exactly the reference's commit-on-checkpoint resume contract).
+GROUP_OFFSETS is the one reference start mode Spark's transport cannot
+express: Spark's Kafka source NEVER consults a consumer group's committed
+offsets — ``kafka.group.id`` only names the group it registers as;
+``startingOffsets`` alone governs the first start, and the streaming
+checkpoint governs every start after that. The reference's
+KafkaSourceSplitEnumerator GROUP_OFFSETS contract (resume from the group's
+last commit) therefore has no faithful mapping, and pretending otherwise
+would silently reprocess the whole topic on first start. ``group_offsets``
+here raises unless the caller opts into an explicit first-start fallback
+(``group_offsets_fallback="earliest"|"latest"``), which emits that
+startingOffsets plus ``kafka.group.id`` and relies on the checkpoint for
+all real resume semantics.
 """
 
 from __future__ import annotations
@@ -36,6 +45,7 @@ def kafka_read_options(
     consumer_group: str | None = None,
     fail_on_data_loss: bool = False,
     pattern: bool = False,
+    group_offsets_fallback: str | None = None,
 ) -> dict[str, str]:
     """The ``spark.readStream.format("kafka").options(**these)`` dict for a
     changelog topic. ``start_offsets`` is {partition: offset} (the
@@ -71,10 +81,20 @@ def kafka_read_options(
     elif start_mode == "group_offsets":
         if not consumer_group:
             raise ValueError("start_mode=group_offsets requires consumer_group")
+        # Spark's Kafka source does not read the group's committed offsets:
+        # startingOffsets always governs the first start (see module
+        # docstring). Refuse rather than silently reprocess the topic.
+        if group_offsets_fallback not in ("earliest", "latest"):
+            raise ValueError(
+                "start_mode=group_offsets is not supported on the Spark "
+                "transport: Spark never resumes from a consumer group's "
+                "committed offsets (kafka.group.id only names the group). "
+                "Pass group_offsets_fallback='earliest'|'latest' to pick an "
+                "explicit first-start position; the streaming checkpoint "
+                "owns resume from then on."
+            )
         opts["kafka.group.id"] = consumer_group
-        # fall back to earliest where the group has no committed offset —
-        # the reference's auto.offset.reset default for GROUP_OFFSETS
-        opts["startingOffsets"] = "earliest"
+        opts["startingOffsets"] = group_offsets_fallback
     if consumer_group and "kafka.group.id" not in opts:
         opts["groupIdPrefix"] = consumer_group
     return opts

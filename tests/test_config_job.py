@@ -608,8 +608,11 @@ def test_fake_source_changelog_rows(spark):
             {"kind": "DELETE", "fields": [1, "a2"]},
         ],
     })
-    assert df.columns == ["id", "name", "op"]
-    assert [r["op"] for r in df.collect()] == ["I", "-U", "U", "D"]
+    assert df.columns == ["id", "name", "op", "seq"]
+    rows = df.collect()
+    assert [r["op"] for r in rows] == ["I", "-U", "U", "D"]
+    # seq carries the declared changelog order — the LWW tie-break at merge
+    assert [r["seq"] for r in rows] == [0, 1, 2, 3]
     import pytest as _pytest
 
     from seatunnel_spark.config import ConfigError
@@ -620,6 +623,34 @@ def test_fake_source_changelog_rows(spark):
     with _pytest.raises(ConfigError, match="fields"):
         fake_source(spark, {"schema": {"fields": {"id": "bigint"}},
                             "rows": [{"kind": "INSERT", "fields": [1, 2]}]})
+
+
+def test_fake_source_changelog_rows_to_laketable_lww(spark, tmp_path):
+    """Changelog rows through the LakeTable sink: the UPDATE_AFTER must win
+    over the earlier INSERT image (seq = declared order breaks the tie) and
+    the UPDATE_BEFORE image must be skipped, not applied as an upsert."""
+    from seatunnel_spark.config import run_job
+    from seatunnel_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "lake")
+    res = run_job(spark, {
+        "env": {"job.mode": "BATCH"},
+        "source": [{"plugin": "FakeSource", "result_table_name": "cl",
+                    "schema": {"fields": {"id": "bigint", "name": "string"}},
+                    "rows": [
+                        {"kind": "INSERT", "fields": [1, "a"]},
+                        {"kind": "UPDATE_BEFORE", "fields": [1, "a"]},
+                        {"kind": "UPDATE_AFTER", "fields": [1, "a2"]},
+                        {"kind": "INSERT", "fields": [2, "b"]},
+                        {"kind": "DELETE", "fields": [2, "b"]},
+                    ]}],
+        "sink": [{"plugin": "LakeTable", "root": root,
+                  "primary_keys": ["id"], "num_buckets": 2}],
+    })
+    assert res["LakeTable#0"]["written"]
+    final = {r["id"]: r["name"]
+             for r in LakeTable.load(root).scan(spark).collect()}
+    assert final == {1: "a2"}  # not "a" (stale image), and id 2 deleted
 
 
 def test_localfile_typed_text_format_through_config(spark, tmp_path):

@@ -262,6 +262,12 @@ def test_jdbc_dialect_sql_text():
                    "SETTINGS allow_experimental_lightweight_delete = 1")
     assert "SETTINGS" not in DIALECTS["clickhouse"].delete_from_staging(
         "t", "t_del", key, lightweight=False)
+    # clickhouse rejects engineless CREATE TABLE: staging writes must carry
+    # an ENGINE clause via createTableOptions; other dialects need none
+    assert DIALECTS["clickhouse"].staging_create_options == (
+        "ENGINE = MergeTree() ORDER BY tuple()")
+    assert DIALECTS["ansi"].staging_create_options is None
+    assert DIALECTS["mysql"].staging_create_options is None
 
 
 def test_parse_mongo_change_stream(spark):

@@ -49,11 +49,19 @@ def test_start_mode_specific_offsets_json_shape():
 
 
 def test_start_mode_group_offsets_and_pattern():
+    # Spark's Kafka source never resumes from a group's committed offsets —
+    # group_offsets without an explicit first-start fallback must refuse,
+    # not silently reprocess the topic from earliest.
+    with pytest.raises(ValueError, match="not supported on the Spark transport"):
+        kafka_read_options(
+            "b:9092", "t", start_mode="group_offsets", consumer_group="st-group"
+        )
     o = kafka_read_options(
-        "b:9092", "t", start_mode="group_offsets", consumer_group="st-group"
+        "b:9092", "t", start_mode="group_offsets", consumer_group="st-group",
+        group_offsets_fallback="latest",
     )
     assert o["kafka.group.id"] == "st-group"
-    assert o["startingOffsets"] == "earliest"  # auto.offset.reset analog
+    assert o["startingOffsets"] == "latest"  # the caller's explicit choice
     with pytest.raises(ValueError, match="consumer_group"):
         kafka_read_options("b:9092", "t", start_mode="group_offsets")
     # topic regex subscription (the reference's PATTERN option)
