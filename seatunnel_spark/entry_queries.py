@@ -1506,9 +1506,10 @@ _MINHASH_PAIRS_CTES = f"""
     ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 10),
     capped AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
     cand AS (
-      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
       FROM capped l JOIN capped r ON l.band = r.band AND l.bh = r.bh
-                                 AND l.doc_id < r.doc_id),
+                                 AND l.doc_id < r.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
     sh AS (SELECT doc_id, list_distinct({_DSH}) AS s FROM documents),
     verified AS (
       SELECT doc_a, doc_b,
@@ -1558,6 +1559,39 @@ def dedup_minhash_lsh_pairs_q(spark, sf_dir):
     verified = dedup_docs.ngram_jaccard(docs, pairs)
     return verified.where(F.col("jaccard") >= 0.2).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@_reg(
+    "dedup_lsh_band_pregate",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             [list_min([('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 12))::BIGINT
+                        FOR s IN {_DSH}])
+              FOR i IN range(0, 16)] AS mh
+      FROM documents),
+    bands AS (
+      SELECT doc_id, b AS band,
+             md5(array_to_string([mh[b * 4 + j + 1]::VARCHAR FOR j IN range(0, 4)], ',')) AS bh
+      FROM sig, range(0, 4) t(b)),
+    ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 10),
+    capped AS (SELECT bands.* FROM bands JOIN ok USING (band, bh))
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM capped l JOIN capped r ON l.band = r.band AND l.bh = r.bh
+                               AND l.doc_id < r.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def dedup_lsh_band_pregate(spark, sf_dir):
+    """The ≥2-shared-bands candidate pregate on its own: LSH pairs that
+    collide in at least 2 of the 4 bands (k=16, bucket cap 10). This is the
+    pair list the composed cleaning recipes feed to the exact-Jaccard
+    verify — the pregate's aggregate rides the shuffle the distinct needed
+    anyway, so shrinking the verify set is free."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_docs.minhash_lsh_pairs(
+        docs, k=16, bands=4, max_bucket=10, min_band_matches=2
     )
 
 
@@ -1637,12 +1671,16 @@ def corpus_clean(spark, sf_dir):
     min-id member survives). Everything is the already-tested operators
     composed — filters are codegen'd, the dedup anti-join is against the
     tiny non-canonical id set, and the only wide work is the keyed
-    aggregations and the capped LSH candidate join."""
+    aggregations and the capped LSH candidate join. The ≥2-shared-bands
+    pregate (min_band_matches) cuts the pair list before the exact-Jaccard
+    verify, the heaviest per-pair cost at scale."""
     from seatunnel_spark.operators.text import repetition_stats
 
     docs = _t(spark, sf_dir, "documents")
     rep = repetition_stats(docs)
-    pairs = dedup_docs.minhash_lsh_pairs(docs, k=16, bands=4, max_bucket=10)
+    pairs = dedup_docs.minhash_lsh_pairs(
+        docs, k=16, bands=4, max_bucket=10, min_band_matches=2
+    )
     verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
     non_canon = (
         dedup_docs.dup_clusters(verified)
@@ -1684,9 +1722,12 @@ def dedup_clusters(spark, sf_dir):
     components via iterative min-label propagation (O(E) joins per round,
     rounds = component diameter, lineage truncated per round) → one
     canonical doc per cluster. The oracle replays it as a recursive
-    reachability CTE — same pairs, same min-id labeling."""
+    reachability CTE — same pairs (incl. the ≥2-band pregate), same min-id
+    labeling."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup_docs.minhash_lsh_pairs(docs, k=16, bands=4, max_bucket=10)
+    pairs = dedup_docs.minhash_lsh_pairs(
+        docs, k=16, bands=4, max_bucket=10, min_band_matches=2
+    )
     verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
     return dedup_docs.dup_clusters(verified)
 
@@ -1950,7 +1991,9 @@ def corpus_clean_strict(spark, sf_dir):
         .where(F.col("contaminated"))
         .select("doc_id")
     )
-    pairs = dedup_docs.minhash_lsh_pairs(docs, k=16, bands=4, max_bucket=10)
+    pairs = dedup_docs.minhash_lsh_pairs(
+        docs, k=16, bands=4, max_bucket=10, min_band_matches=2
+    )
     verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
     non_canon = (
         dedup_docs.dup_clusters(verified)

@@ -105,9 +105,19 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     max_bucket: int | None = 64,
+    min_band_matches: int = 1,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
     Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    ``min_band_matches`` > 1 is the candidate-pair pregate: keep only pairs
+    colliding in at least that many bands. One shared band out of b=4
+    (r=4-row bands) admits pairs with Jaccard well below any verify
+    threshold; requiring 2 sharply cuts the pair list BEFORE the expensive
+    exact-Jaccard verify (array_intersect over full shingle sets — the
+    dominant per-pair cost at scale) while keeping true near-dups, which
+    collide in most bands. The count runs on the same shuffle the distinct
+    already needed, so the pregate is free.
 
     ``max_bucket`` caps band-bucket size before the self-join: a bucket of N
     docs emits N² pairs, and on a duplicate-heavy corpus (the exact case
@@ -152,17 +162,23 @@ def minhash_lsh_pairs(
         band_rows = band_rows.join(small, ["band", "bh"], "leftsemi")
     left = band_rows.alias("l")
     right = band_rows.alias("r")
+    hits = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+    )
+    if min_band_matches <= 1:
+        return hits.distinct()
+    # a (pair, band) collision is unique per band, so count(*) == number of
+    # shared bands; the aggregate shuffles exactly what distinct() would
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
-        )
-        .distinct()
+        hits.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_nb"))
+        .where(F.col("_nb") >= min_band_matches)
+        .select("doc_a", "doc_b")
     )
 
 

@@ -105,6 +105,27 @@ def test_lsh_bucket_cap_bounds_duplicate_clusters(spark):
     assert uncapped.count() == 200 * 199 // 2 + 1
 
 
+def test_lsh_min_band_matches_pregate(spark, docs):
+    """min_band_matches=2 keeps pairs colliding in ≥2 bands (true near-dups
+    collide in most bands) and drops single-band accidental collisions; it
+    can only ever shrink the default pair list."""
+    near_a = "the quick brown fox jumps over the lazy dog and runs away fast"
+    near_b = "the quick brown fox jumps over the lazy dog and runs away slow"
+    rows = [(0, near_a), (1, near_b), (2, near_a), (3, "totally different text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r["doc_a"], r["doc_b"]) for r in
+            dedup_docs.minhash_lsh_pairs(df, k=16, bands=4).collect()}
+    gated = {(r["doc_a"], r["doc_b"]) for r in
+             dedup_docs.minhash_lsh_pairs(df, k=16, bands=4,
+                                          min_band_matches=2).collect()}
+    assert gated <= base
+    assert (0, 2) in gated          # identical docs share ALL bands
+    assert (0, 1) in gated          # one-word-off near-dups share most bands
+    # impossible thresholds yield nothing (> number of bands)
+    assert dedup_docs.minhash_lsh_pairs(
+        df, k=16, bands=4, min_band_matches=5).count() == 0
+
+
 def test_simhash_near_dup_close(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup_docs.simhash(docs, bits=32).collect()}
     assert sh[0] == sh[1]
