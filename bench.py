@@ -221,13 +221,19 @@ def main() -> None:
 
     cdc = run_cdc_replay(spark)
 
-    # 3-run medians (BENCH_QUERY_RUNS to override): single runs at sub-second
-    # scale are JIT/cache-warmth noise — r2 flagged two ±5-10% swings that
-    # medians settle.
+    # Per-query WARMUP (discarded) + 3-run medians (BENCH_QUERY_RUNS to
+    # override) + min/med/max variance bands in the output. Single runs at
+    # sub-second scale are JIT/cache-warmth noise; r4's driver run drifted
+    # 15-35% above same-code medians purely from JVM state carried across
+    # the enlarged suite — the warmup run absorbs per-query plan-compile +
+    # JIT cost so the timed samples measure steady state, and the bands make
+    # residual wobble visible instead of masquerading as regression.
     runs = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
     q_times: dict[str, float] = {}
+    q_bands: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        fn(spark, SF_DIR).count()  # warmup: compile + JIT, not timed
         samples = []
         n = 0
         for _ in range(runs):
@@ -236,6 +242,7 @@ def main() -> None:
             samples.append(time.time() - t0)
         samples.sort()
         q_times[name] = round(samples[len(samples) // 2], 3)
+        q_bands[name] = [round(samples[0], 3), q_times[name], round(samples[-1], 3)]
         log(f"{name}: {q_times[name]}s median of {[round(s, 3) for s in samples]} ({n} rows)")
 
     # ---- scale-up section: same heads at FACTOR x docs/embeddings --------
@@ -248,6 +255,7 @@ def main() -> None:
         s_runs = int(os.environ.get("BENCH_SCALEUP_RUNS", "3"))
         for name in SCALEUP_HEADS:
             fn = QUERIES[name]
+            fn(spark, scaled_dir).count()  # warmup, not timed
             samples = []
             n = 0
             for _ in range(s_runs):
@@ -266,7 +274,10 @@ def main() -> None:
             # ratio vs LINEAR scaling expectation (factor x the sf0.1 median):
             # <=1 is at-or-better-than-linear; the verdict's bar is <=2
             ratio = round(med / (base * SCALEUP_FACTOR), 3) if base else None
-            scaleup[name] = {"sec": med, "vs_linear": ratio, "rows": n}
+            scaleup[name] = {
+                "sec": med, "vs_linear": ratio, "rows": n,
+                "band": [round(samples[0], 3), med, round(samples[-1], 3)],
+            }
             log(
                 f"scaleup x{SCALEUP_FACTOR} {name}: {med}s "
                 f"(vs_linear={ratio}, {n} rows, runs={[round(s,3) for s in samples]})"
@@ -279,7 +290,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": q_times,
+        "query_bands": q_bands,  # [min, median, max] over the timed runs
         "query_runs": runs,
+        "query_warmup": 1,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": cdc,
         "cpus": CPUS,

@@ -67,9 +67,19 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     of per-shingle hashing onto a single core. Spread it across the cluster
     when under-partitioned — the shuffle moves only the raw text once and
     buys full parallelism. At real scale (many files / row groups) the scan
-    is already wide and this is a no-op."""
+    is already wide and this is a no-op.
+
+    The probe uses file-listing metadata (``inputFiles``) rather than
+    ``df.rdd.getNumPartitions`` — the RDD conversion forces a full plan
+    analysis per call. A non-file source (createDataFrame, streams) lists
+    no files and is left untouched: its parallelism already follows the
+    session default."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < max(2, target // 2):
         return df.repartition(target)
     return df
 
