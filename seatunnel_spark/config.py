@@ -140,6 +140,12 @@ def _source_df(spark: SparkSession, block: dict) -> DataFrame:
             block["path"],
             options=block.get("options"),
         )
+    if plugin == "Http":
+        # REST source (connector-http-base surface: url/method/headers/
+        # params/body/format/content_field/json_field/retry + pagination)
+        from seatunnel_spark.sources.http import read_http_source
+
+        return read_http_source(spark, block)
     if plugin == "Jdbc":
         from seatunnel_spark.sources.jdbc import jdbc_partitioned_read
 
