@@ -430,6 +430,101 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 jdbc_upsert_write(upserts, url, target, key, dialect=dialect)
             )
         return {"written": True, "statements": executed}
+    if plugin == "Doris":
+        # Doris stream-load sink (write-cdc-changelog-to-doris.conf surface:
+        # fenodes / username / password / table.identifier /
+        # sink.label-prefix / sink.enable-2pc / sink.enable-delete /
+        # doris.config). Renders the exact stream-load PUTs; dry_run
+        # returns them un-executed (no Doris FE in this sandbox).
+        import uuid as _uuid
+
+        from seatunnel_spark.sinks.streamload import (
+            doris_stream_load_request,
+            requests_for_batch,
+        )
+
+        db, _, tbl = str(block["table.identifier"]).partition(".")
+        if not tbl:
+            raise ConfigError("Doris sink needs table.identifier = 'db.table'")
+        cfg = dict(block.get("doris.config") or {})
+        fmt = str(cfg.pop("format", "csv")).lower()
+        cfg.pop("read_json_by_line", None)  # implied by fmt=json
+        prefix = block.get("sink.label-prefix") or f"st-{_uuid.uuid4().hex[:8]}"
+        enable_delete = str(block.get("sink.enable-delete", "false")).lower() == "true"
+        batch = df
+        if enable_delete and "op" not in batch.columns:
+            batch = batch.withColumn("op", F.lit("I"))
+        if "op" in batch.columns:
+            # UPDATE_BEFORE images are delete-signed ("1") by the serializer
+            # only when delete handling is on; otherwise they are skipped
+            # (same contract as the merge sinks above)
+            if not enable_delete:
+                batch = batch.where(F.col("op") != "-U")
+        reqs = requests_for_batch(
+            batch,
+            lambda i, cols, rows: doris_stream_load_request(
+                block["fenodes"], db, tbl, cols, rows,
+                username=block.get("username", "root"),
+                password=block.get("password", ""),
+                label=f"{prefix}-{i}",
+                fmt=fmt,
+                enable_delete=enable_delete,
+                enable_2pc=str(block.get("sink.enable-2pc", "false")).lower() == "true",
+                props=cfg,
+            ),
+            chunk_rows=int(block.get("sink.buffer-count", 100_000)),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in reqs
+                ],
+            }
+        return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "StarRocks":
+        # StarRocks stream-load sink (starrocks .conf surface: nodeUrls /
+        # username / password / database / table / starrocks.config).
+        import uuid as _uuid
+
+        from seatunnel_spark.sinks.streamload import (
+            requests_for_batch,
+            starrocks_stream_load_request,
+        )
+
+        nodes = block.get("nodeUrls") or []
+        if not nodes:
+            raise ConfigError("StarRocks sink needs nodeUrls")
+        cfg = dict(block.get("starrocks.config") or {})
+        fmt = str(cfg.pop("format", "json")).lower()
+        cfg.pop("strip_outer_array", None)  # always set, visitor contract
+        prefix = block.get("sink.label-prefix") or f"st-{_uuid.uuid4().hex[:8]}"
+        upsert_delete = "op" in df.columns
+        reqs = requests_for_batch(
+            df,
+            lambda i, cols, rows: starrocks_stream_load_request(
+                nodes[0], block["database"], block["table"], cols, rows,
+                username=block.get("username", "root"),
+                password=block.get("password", ""),
+                label=f"{prefix}-{i}",
+                fmt=fmt,
+                enable_upsert_delete=upsert_delete,
+                props=cfg,
+            ),
+            chunk_rows=int(block.get("batch_max_rows", 100_000)),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in reqs
+                ],
+            }
+        return {"written": True, "responses": [r.execute() for r in reqs]}
     if plugin == "Hive":
         # HiveSink analog (fakesource_to_hive.conf surface: hive_table_name,
         # hive_metastore_uris, partition_by, sink_columns) — dynamic
