@@ -112,18 +112,45 @@ def read_changelog_stream(
                   "start_mode": "timestamp", "start_timestamp_ms": ...}
 
     Everything downstream — envelope parsing, RowKind routing, ordering,
-    DDL routing — is identical on both transports."""
+    DDL routing — is identical on both transports. ``broker["transport"]``
+    selects the queue family: ``kafka`` (default) or ``pulsar`` (the
+    StreamNative pulsar-spark connector, sources/pulsar.py);
+    ``rocketmq`` has no Spark Structured Streaming connector — its seam
+    (sources/rocketmq.py) renders the consumer config for a relay bridge
+    and this function refuses it loudly rather than pretending."""
     if wire_format not in WIRE_FORMATS:
         raise ValueError(f"unknown wire_format {wire_format!r}; use one of {WIRE_FORMATS}")
     if broker is not None:
-        from seatunnel_spark.sources.kafka import kafka_read_options, kafka_value_stream
+        transport = broker.get("transport", "kafka")
+        passthrough = {k: v for k, v in broker.items()
+                       if k not in ("max_offsets_per_trigger", "transport")}
+        if transport == "kafka":
+            from seatunnel_spark.sources.kafka import (
+                kafka_read_options,
+                kafka_value_stream,
+            )
 
-        opts = kafka_read_options(**{k: v for k, v in broker.items()
-                                     if k != "max_offsets_per_trigger"})
-        raw = kafka_value_stream(
-            spark, opts,
-            max_offsets_per_trigger=broker.get("max_offsets_per_trigger"),
-        )
+            opts = kafka_read_options(**passthrough)
+            raw = kafka_value_stream(
+                spark, opts,
+                max_offsets_per_trigger=broker.get("max_offsets_per_trigger"),
+            )
+        elif transport == "pulsar":
+            from seatunnel_spark.sources.pulsar import (
+                pulsar_read_options,
+                pulsar_value_stream,
+            )
+
+            raw = pulsar_value_stream(spark, pulsar_read_options(**passthrough))
+        elif transport == "rocketmq":
+            raise ValueError(
+                "rocketmq has no Spark Structured Streaming transport; use "
+                "seatunnel_spark.sources.rocketmq.rocketmq_consumer_options "
+                "to configure a relay into a topic dir / Kafka topic and "
+                "stream that instead"
+            )
+        else:
+            raise ValueError(f"unknown broker transport {transport!r}")
     else:
         raw = (
             spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)

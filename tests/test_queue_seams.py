@@ -1,0 +1,110 @@
+"""Pulsar / RocketMQ queue seams: option-dict text tests (no brokers in
+the sandbox) — the same dialect-as-text pattern as the Kafka seam.
+Reference: connector-pulsar config/SourceProperties.java, connector-rocketmq
+config/ConsumerConfig.java + source/RocketMqSourceSplitEnumerator.java."""
+
+import json
+
+import pytest
+
+from seatunnel_spark.sources.pulsar import (
+    pulsar_read_options,
+    pulsar_stop_options,
+)
+from seatunnel_spark.sources.rocketmq import rocketmq_consumer_options
+
+
+def test_pulsar_start_modes():
+    o = pulsar_read_options("pulsar://p:6650", "http://p:8080", "cdc.repos",
+                            start_mode="earliest")
+    assert o["service.url"] == "pulsar://p:6650"
+    assert o["admin.url"] == "http://p:8080"
+    assert o["topics"] == "cdc.repos"
+    assert o["startingOffsets"] == "earliest"
+    assert pulsar_read_options("s", "a", "t")["startingOffsets"] == "latest"
+    # the reference's semicolon topic list -> connector comma list
+    o = pulsar_read_options("s", "a", "t1;t2;t3")
+    assert o["topics"] == "t1,t2,t3"
+    o = pulsar_read_options("s", "a", "cdc\\..*", pattern=True)
+    assert o["topicsPattern"] == "cdc\\..*" and "topics" not in o
+    with pytest.raises(ValueError, match="unknown start_mode"):
+        pulsar_read_options("s", "a", "t", start_mode="bogus")
+
+
+def test_pulsar_timestamp_and_subscription():
+    o = pulsar_read_options("s", "a", "t", start_mode="timestamp",
+                            start_timestamp_ms=1700000000123)
+    assert o["startingTime"] == "1700000000123"
+    assert "startingOffsets" not in o
+    with pytest.raises(ValueError, match="start_timestamp_ms"):
+        pulsar_read_options("s", "a", "t", start_mode="timestamp")
+    # SUBSCRIPTION resumes the named cursor; reset mode only governs a
+    # not-yet-existing subscription (CURSOR_RESET_MODE contract)
+    o = pulsar_read_options("s", "a", "t", start_mode="subscription",
+                            subscription_name="st-sub",
+                            cursor_reset_mode="earliest")
+    assert o["predefinedSubscription"] == "st-sub"
+    assert o["startingOffsets"] == "earliest"
+    with pytest.raises(ValueError, match="subscription_name"):
+        pulsar_read_options("s", "a", "t", start_mode="subscription")
+    with pytest.raises(ValueError, match="earliest\\|latest"):
+        pulsar_read_options("s", "a", "t", start_mode="subscription",
+                            subscription_name="x", cursor_reset_mode="timestamp")
+
+
+def test_pulsar_stop_modes():
+    assert pulsar_stop_options("never") == {}
+    assert pulsar_stop_options("latest") == {"endingOffsets": "latest"}
+    assert pulsar_stop_options("timestamp", 42)["endingTime"] == "42"
+    with pytest.raises(ValueError, match="stop_timestamp_ms"):
+        pulsar_stop_options("timestamp")
+
+
+def test_rocketmq_start_modes():
+    o = rocketmq_consumer_options("mq:9876", "cdc_repos", "st-group",
+                                  "CONSUME_FROM_FIRST_OFFSET")
+    assert o == {"namesrvAddr": "mq:9876", "consumerGroup": "st-group",
+                 "topic": "cdc_repos",
+                 "consumeFromWhere": "CONSUME_FROM_FIRST_OFFSET"}
+    # GROUP_OFFSETS: committed offsets resume natively; LAST_OFFSET is the
+    # brand-new-group fallback (the reference enumerator's default)
+    o = rocketmq_consumer_options("mq:9876", "t", "g")
+    assert o["consumeFromWhere"] == "CONSUME_FROM_LAST_OFFSET"
+    with pytest.raises(ValueError, match="consumer_group"):
+        rocketmq_consumer_options("mq:9876", "t", "")
+    with pytest.raises(ValueError, match="unknown start_mode"):
+        rocketmq_consumer_options("mq:9876", "t", "g", "FROM_THE_TOP")
+
+
+def test_rocketmq_timestamp_and_specific_offsets():
+    o = rocketmq_consumer_options("mq", "t", "g", "CONSUME_FROM_TIMESTAMP",
+                                  start_timestamp_ms=1700000000000)
+    assert o["consumeFromWhere"] == "CONSUME_FROM_TIMESTAMP"
+    assert o["consumeTimestamp"] == "20231114221320"  # yyyyMMddHHmmss UTC
+    with pytest.raises(ValueError, match="start_timestamp_ms"):
+        rocketmq_consumer_options("mq", "t", "g", "CONSUME_FROM_TIMESTAMP")
+    o = rocketmq_consumer_options("mq", "t", "g",
+                                  "CONSUME_FROM_SPECIFIC_OFFSETS",
+                                  start_offsets={1: 500, 0: 200})
+    assert json.loads(o["seekOffsets"]) == {"0": 200, "1": 500}
+    assert "consumeFromWhere" not in o  # explicit seek, not a policy
+
+
+def test_transport_switch_through_changelog_stream(spark, tmp_path):
+    """broker.transport routes to the right seam; rocketmq refuses loudly
+    (no Spark transport) instead of silently misreading."""
+    from pyspark.sql import types as T
+
+    from seatunnel_spark.sources.queue import read_changelog_stream
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    with pytest.raises(ValueError, match="no Spark Structured Streaming transport"):
+        read_changelog_stream(
+            spark, str(tmp_path), "canal-json", schema,
+            broker={"transport": "rocketmq"},
+        )
+    with pytest.raises(ValueError, match="unknown broker transport"):
+        read_changelog_stream(
+            spark, str(tmp_path), "canal-json", schema,
+            broker={"transport": "zeromq"},
+        )
