@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — schema, partition-preserving mapInPandas,
-Arrow batch shape, deterministic fake featurizer — while the actual codec
-calls are stubbed (no image/audio libs in this container): the decode seam
-raises NotImplementedError unless ``fake=True``, which substitutes a
-deterministic md5-seeded feature vector so the pipeline is testable
-end-to-end.
+Arrow batch shape, deterministic fake featurizer — and PNG images have a
+REAL pure-stdlib decoder (zlib inflate + per-scanline unfilter incl.
+Paeth, ``decode_png``), so the non-fake featurize path runs end-to-end on
+PNG payloads. Other codecs (jpeg/audio/video) stay honestly stubbed: the
+decode seam raises NotImplementedError for them (no PIL/ffmpeg in this
+container); ``fake=True`` substitutes a deterministic md5-seeded feature
+vector so every pipeline remains testable and oracle-checkable.
 
 Pattern: `mapInPandas` (not per-row UDFs) so each Arrow batch is processed
 as one numpy block; at scale the batch size knob is
@@ -15,6 +17,8 @@ spark.sql.execution.arrow.maxRecordsPerBatch.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -65,11 +69,124 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return out
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> raw channels
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to the
+    linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode → uint8 array of shape (height, width,
+    channels). Supports the baseline still-image lattice: bit depth 8,
+    color types greyscale / RGB / palette / grey+alpha / RGBA, no
+    interlacing; all five scanline filters (None/Sub/Up/Average/Paeth)
+    are unfiltered per the spec. Ancillary chunks are skipped; palette
+    images resolve through PLTE to RGB."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            plte = chunk
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("not a PNG: missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"png: only 8-bit non-interlaced supported (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"png: unknown color type {color}")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("png: decompressed length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"png: unknown filter {f} on row {y}")
+        out[y] = line
+        prev = line
+    img = out.reshape(height, width, ch)
+    if color == 3:  # palette -> RGB
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        img = pal[img[:, :, 0]]
+    return img
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """Decoded image → FEATURE_DIM floats in [0, 1]: dims (log-scaled),
+    channel count, global mean/std, per-channel means (up to 4), luma
+    quartile means, and edge energy — the standard cheap vision stats a
+    curation pipeline filters on."""
+    h, w, c = img.shape
+    f = np.zeros(FEATURE_DIM, dtype=np.float32)
+    x = img.astype(np.float32) / 255.0
+    f[0] = min(1.0, np.log1p(w) / 12.0)
+    f[1] = min(1.0, np.log1p(h) / 12.0)
+    f[2] = c / 4.0
+    f[3] = float(x.mean())
+    f[4] = float(x.std())
+    for i in range(min(c, 4)):
+        f[5 + i] = float(x[:, :, i].mean())
+    luma = x[:, :, : min(c, 3)].mean(axis=2)
+    qs = np.array_split(luma.ravel(), 4)
+    for i, q in enumerate(qs):
+        f[9 + i] = float(q.mean()) if q.size else 0.0
+    if w > 1:
+        f[13] = float(np.abs(np.diff(luma, axis=1)).mean())
+    if h > 1:
+        f[14] = float(np.abs(np.diff(luma, axis=0)).mean())
+    f[15] = float((luma > 0.5).mean())
+    return f
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches, vectorized).
 
-    With ``fake=False`` this is where PIL/ffmpeg/torchaudio would run;
-    stubbed per the container constraints.
+    With ``fake=False``, PNG payloads decode for real (``decode_png`` →
+    ``image_features``); every other codec is where PIL/ffmpeg/torchaudio
+    would run and raises NotImplementedError per the container constraints.
     """
     out_schema = T.StructType(
         [
@@ -80,16 +197,24 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
         ]
     )
 
+    def one_real(p: bytes | None):
+        if p is None:
+            return None
+        if bytes(p[:8]) == PNG_SIGNATURE:
+            return image_features(decode_png(bytes(p))).tolist()
+        raise NotImplementedError(
+            "real decode beyond PNG requires PIL/ffmpeg — not in this container"
+        )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this container"
-                )
-            feats = [
-                _fake_decode(bytes(p)).tolist() if p is not None else None
-                for p in pdf["payload"]
-            ]
+            if fake:
+                feats = [
+                    _fake_decode(bytes(p)).tolist() if p is not None else None
+                    for p in pdf["payload"]
+                ]
+            else:
+                feats = [one_real(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
