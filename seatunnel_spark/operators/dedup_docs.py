@@ -108,6 +108,35 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("minhash"))
 
 
+def band_hashes(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH band hashes from a minhash-signature table: (id, band, bh) with
+    bh = md5 over the band's signature slice — the band family shared by
+    the batch pair generator and the streaming near-dup store (identical
+    hashes, so stream-time and compaction-time dedup agree on collisions)."""
+    r = k // bands
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -138,7 +167,6 @@ def minhash_lsh_pairs(
     canonical representatives here (the reference guards its chunk splitter
     against the same skew, JdbcSourceOptions.java:102-138). The cap makes
     the pair count O(buckets × cap²) by construction."""
-    r = k // bands
     # Materialize signatures ONCE (id + k bigints — tiny): every band-hash
     # below accesses minhash[i], and Catalyst's projection collapse +
     # extract-value simplification would inline the full shingle+minhash
@@ -147,22 +175,7 @@ def minhash_lsh_pairs(
     # measured as a ~50x recomputation of the text-processing work. On a
     # cluster needing executor-failure tolerance use checkpoint() instead.
     sigs = minhash_signatures(df, id_col, col, k).localCheckpoint(eager=True)
-    band_rows = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)])
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bh")
+    band_rows = band_hashes(sigs, id_col, k, bands)
     if max_bucket is not None:
         small = (
             band_rows.groupBy("band", "bh")

@@ -67,3 +67,156 @@ def stream_corpus_clean(
     q = quality_score(docs, col).where(F.col("quality_ok"))
     q = q.select(docs.columns)  # quality columns were only the gate
     return stream_dedup_exact(q, ts_col=ts_col, col=col, watermark=watermark)
+
+
+class NearDupStore:
+    """Bounded recent-signature store for stream-time NEAR-dedup: LSH band
+    hashes of recently accepted documents, evicted past the watermark.
+
+    Per micro-batch: (1) within-batch near-dups collapse through the batch
+    spine (capped LSH pairs + ≥2-band pregate + Jaccard verify + connected
+    components — identical semantics to the compaction-time dedup); (2) a
+    surviving doc colliding with the store in ≥ ``min_band_matches`` bands
+    is dropped as a near-dup of a recently accepted doc (no text is stored,
+    so the cross-batch decision is band-collision-approximate — exactly the
+    precision the ≥2-band pregate admits; the landed-zone compaction stays
+    the exact verify); (3) survivors' band rows enter the store, rows older
+    than the watermark leave. State is (band, bh, ts) per accepted doc —
+    b rows each, never text, bounded by the watermark window.
+
+    The store is parquet here (rewrite-per-batch is fine for the stand-in
+    scale); a 100 TB deployment keys the same rows in the lake table and
+    evicts via partition drop."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        watermark_s: int = 3600,
+        k: int = 16,
+        bands: int = 4,
+        min_band_matches: int = 2,
+        max_bucket: int = 64,
+        jaccard_threshold: float = 0.2,
+    ) -> None:
+        self.store_dir = store_dir
+        self.watermark_s = int(watermark_s)
+        self.k, self.bands = k, bands
+        self.min_band_matches = min_band_matches
+        self.max_bucket = max_bucket
+        self.jaccard_threshold = jaccard_threshold
+
+    def _load(self, spark):
+        import os
+
+        if not os.path.isdir(self.store_dir):
+            return None
+        try:
+            return spark.read.parquet(self.store_dir)
+        except Exception:
+            return None
+
+    def filter_batch(
+        self,
+        batch: DataFrame,
+        id_col: str = "doc_id",
+        col: str = "text",
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """One micro-batch through the near-dup gate; returns survivors and
+        advances the store (append + evict) as a side effect."""
+        from seatunnel_spark.operators.dedup_docs import (
+            band_hashes,
+            dup_clusters,
+            minhash_lsh_pairs,
+            minhash_signatures,
+            ngram_jaccard,
+        )
+
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)  # read once: gate + bands
+
+        # (1) within-batch near-dup canonicalization — the batch spine
+        pairs = minhash_lsh_pairs(
+            batch, id_col, col, self.k, self.bands,
+            max_bucket=self.max_bucket, min_band_matches=self.min_band_matches,
+        )
+        verified = ngram_jaccard(batch, pairs, id_col, col).where(
+            F.col("jaccard") >= self.jaccard_threshold
+        )
+        non_canon = (
+            dup_clusters(verified).where(~F.col("is_canonical")).select(
+                F.col("doc_id").alias(id_col))
+        )
+        survivors = batch.join(non_canon, id_col, "left_anti")
+
+        # (2) cross-batch: drop docs colliding with the recent store
+        sigs = minhash_signatures(survivors, id_col, col, self.k).localCheckpoint(
+            eager=True
+        )
+        bands_new = band_hashes(sigs, id_col, self.k, self.bands)
+        store = self._load(spark)
+        if store is not None and store.head(1):
+            hits = (
+                bands_new.join(
+                    F.broadcast(store.select("band", "bh").distinct()),
+                    ["band", "bh"],
+                )
+                .groupBy(id_col)
+                .agg(F.count("*").alias("_nb"))
+                .where(F.col("_nb") >= self.min_band_matches)
+                .select(id_col)
+            )
+            survivors = survivors.join(hits, id_col, "left_anti")
+            bands_new = bands_new.join(hits, id_col, "left_anti")
+        survivors = survivors.localCheckpoint(eager=True)
+
+        # (3) advance the store: accepted bands in, watermark-expired out
+        fresh = bands_new.join(
+            survivors.select(id_col, F.col(ts_col).alias("_ts")), id_col
+        ).select("band", "bh", F.col("_ts").alias("ts"))
+        merged = fresh if store is None else store.unionByName(fresh)
+        horizon_row = merged.agg(F.max("ts").alias("m")).collect()[0]
+        if horizon_row["m"] is not None:
+            merged = merged.where(
+                F.col("ts") >= F.lit(horizon_row["m"]) - F.expr(
+                    f"INTERVAL {self.watermark_s} SECONDS"
+                )
+            )
+        # materialize before overwriting the directory being read
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(self.store_dir)
+        return survivors
+
+
+def run_stream_clean_neardup(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    ts_col: str = "ts",
+    col: str = "text",
+    watermark_s: int = 3600,
+    timeout_s: float = 300.0,
+    **store_kw,
+) -> None:
+    """The full streaming curation with NEAR-dedup: quality gate (pure
+    expressions) → per-batch LSH near-dedup against the bounded recent
+    store → parquet append. Runs availableNow (drain + return); rerunning
+    resumes from the checkpoint. Exact duplicates are a special case of
+    the band filter (identical docs collide in ALL bands), so this
+    pipeline subsumes ``stream_dedup_exact`` while it runs."""
+    store = NearDupStore(store_dir, watermark_s=watermark_s, **store_kw)
+    out_cols = stream.columns
+
+    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        gated = quality_score(batch, col).where(F.col("quality_ok")).select(out_cols)
+        kept = store.filter_batch(gated, col=col, ts_col=ts_col)
+        kept.select(out_cols).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -79,6 +79,91 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     assert set(batch_ids) == {1, 3, 5}
 
 
+def test_stream_neardup_drops_variants_across_batches(spark, tmp_path):
+    """The near-dup path: a VARIANT (not exact duplicate) of an accepted
+    doc arriving in a later micro-batch within the watermark is dropped by
+    the bounded band-hash store; fresh docs pass; within-batch variants
+    collapse to one canonical."""
+    from seatunnel_spark.streaming.curation_stream import run_stream_clean_neardup
+
+    # realistic document length: one edited word in ~100 words keeps ~95%
+    # of shingles, so variants collide in most LSH bands (short snippets
+    # collide in ≤1 band and are below the ≥2-band precision floor — the
+    # compaction-time exact verify owns that tail)
+    base = " ".join(
+        f"sentence {i} of a long and reasonably varied document about "
+        f"data pipelines topic{i}" for i in range(10)
+    )
+    near1 = base  # original
+    near2 = base.replace("topic7", "subject7")  # cross-batch variant
+    near3 = base.replace("topic2", "theme2")    # same-batch variant
+    src = str(tmp_path / "src")
+    _write_batch(src, "b0.json", [
+        {"doc_id": 1, "text": near1, "ts": "2024-01-01T10:00:00"},
+        {"doc_id": 2, "text": near3, "ts": "2024-01-01T10:00:01"},
+        {"doc_id": 3, "text": GOOD2, "ts": "2024-01-01T10:00:02"},
+    ], mtime=1_700_000_000)
+    _write_batch(src, "b1.json", [
+        {"doc_id": 4, "text": near2, "ts": "2024-01-01T10:20:00"},
+        {"doc_id": 5, "text": "a wholly different subject entirely: "
+                              "gardening tips for arid climates, with many "
+                              "practical suggestions and helpful notes.",
+         "ts": "2024-01-01T10:20:01"},
+    ], mtime=1_700_000_060)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = str(tmp_path / "out")
+    run_stream_clean_neardup(
+        stream, out, str(tmp_path / "ck"), str(tmp_path / "store"),
+        watermark_s=3600,
+    )
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.schema(DOC_SCHEMA).parquet(out).collect())
+    # 2 collapses within batch 0 (canonical = 1); 4 is dropped by the store
+    # as a near-dup of 1 across batches; 3 and 5 are genuinely fresh
+    assert ids == [1, 3, 5]
+    # the store holds only (band, bh, ts) — never text — and is non-empty
+    st = spark.read.parquet(str(tmp_path / "store"))
+    assert set(st.columns) == {"band", "bh", "ts"}
+    assert st.count() > 0
+
+
+def test_neardup_store_evicts_past_watermark(spark, tmp_path):
+    """A variant arriving AFTER the watermark horizon is re-admitted (the
+    documented stream/batch split: the late tail is compaction's job) —
+    proving state is genuinely bounded, not grow-forever."""
+    from seatunnel_spark.streaming.curation_stream import NearDupStore
+
+    base = " ".join(
+        f"paragraph {i} covering storage engines and shuffle behavior in "
+        f"distributed systems item{i}" for i in range(10)
+    )
+    store = NearDupStore(str(tmp_path / "store"), watermark_s=600)
+    b0 = spark.createDataFrame(
+        [(1, base, "2024-01-01T10:00:00")],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert [r["doc_id"] for r in store.filter_batch(b0).collect()] == [1]
+    # 5 min later (inside watermark): variant dropped
+    b1 = spark.createDataFrame(
+        [(2, base.replace("item4", "entry4"), "2024-01-01T10:05:00")],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert store.filter_batch(b1).count() == 0
+    # 2 hours later (far past watermark): the store evicted doc 1's bands
+    # when the horizon advanced, so the variant is re-admitted
+    b2 = spark.createDataFrame(
+        [(3, base.replace("item8", "entry8"), "2024-01-01T12:30:00")],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert [r["doc_id"] for r in store.filter_batch(b2).collect()] == [3]
+    st = spark.read.parquet(str(tmp_path / "store"))
+    assert st.where(F.col("ts") < "2024-01-01T12:00:00").count() == 0
+
+
 def test_stream_corpus_clean_gates_before_dedup(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_batch(src, "b0.json", [
