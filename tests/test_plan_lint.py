@@ -33,6 +33,67 @@ def test_no_row_at_a_time_python_and_no_cartesian(spark):
     assert not offenders, offenders
 
 
+def test_engine_foreachbatch_plans_lint_clean(spark, tmp_path, monkeypatch):
+    """The same lint over the ENGINE's executed plans: drive one CDC e2e
+    (snapshot + incremental with DDL) while spying on every DataFrame
+    action (collect + parquet writes), then assert no captured plan —
+    stage, LWW reduce, MERGE source, metadata pass — contains
+    row-at-a-time Python or an unbroadcast cross join. This closes the gap
+    where a regression inside foreachBatch would dodge the query lint."""
+    import os
+
+    import pyspark.sql.classic.dataframe as D
+    import pyspark.sql.readwriter as RW
+
+    from seatunnel_spark.lake import LakeTable
+    from seatunnel_spark.schema import REPO_FIELDS, REPO_KEY, event_schema
+    from seatunnel_spark.sources import generator as gen
+    from seatunnel_spark.streaming.job import CdcIngestJob
+
+    captured: list[tuple[str, str]] = []
+
+    def grab(df, tag):
+        try:
+            captured.append((tag, df._jdf.queryExecution().executedPlan().toString()))
+        except Exception:
+            pass  # streaming sources can't produce an executed plan pre-start
+
+    orig_collect = D.DataFrame.collect
+    monkeypatch.setattr(
+        D.DataFrame, "collect",
+        lambda self: (grab(self, "collect"), orig_collect(self))[1],
+    )
+    orig_parquet = RW.DataFrameWriter.parquet
+    monkeypatch.setattr(
+        RW.DataFrameWriter, "parquet",
+        lambda self, *a, **kw: (grab(self._df, "write"), orig_parquet(self, *a, **kw))[1],
+    )
+
+    work = str(tmp_path)
+    paths = gen.write_fixture(os.path.join(work, "fx"), n_base=60,
+                              n_events=240, seed=11, n_event_files=2)
+    job = CdcIngestJob(spark, os.path.join(work, "table"), paths["events"],
+                       os.path.join(work, "ckpt"), num_buckets=4,
+                       total_events=240)
+    job.ensure_snapshot(spark.read.parquet(paths["base"]),
+                        spark.read.schema(event_schema()).parquet(paths["events"]),
+                        REPO_FIELDS, REPO_KEY, max_fence=40)
+    job.run_incremental(available_now=True, timeout_s=300)
+    assert LakeTable.load(os.path.join(work, "table")).scan(spark).count() > 0
+    assert len(captured) >= 5  # metadata passes + stage writes + side tables
+
+    offenders = {}
+    for i, (tag, plan) in enumerate(captured):
+        bad = []
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if bad:
+            offenders[f"{i}:{tag}"] = bad
+    assert not offenders, offenders
+
+
 def test_scans_prune_columns(spark):
     """Spot-check pushdown: narrow queries must not read the wide text
     column they don't use."""
