@@ -525,6 +525,36 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "Elasticsearch":
+        # ES bulk sink (connector-elasticsearch surface: hosts / index /
+        # primary_keys / key_delimiter / max_batch_size; index may embed
+        # ${field} variables). dry_run returns the rendered bulk requests.
+        from seatunnel_spark.sinks.elasticsearch import requests_for_batch as es_reqs
+
+        hosts = block.get("hosts") or []
+        if not hosts or not block.get("index"):
+            raise ConfigError("Elasticsearch sink needs hosts and index")
+        pk = block.get("primary_keys")
+        reqs = es_reqs(
+            df,
+            hosts[0],
+            block["index"],
+            primary_keys=[pk] if isinstance(pk, str) else pk,
+            key_delimiter=block.get("key_delimiter", "_"),
+            max_batch_size=int(block.get("max_batch_size", 10)),
+            username=block.get("username"),
+            password=block.get("password"),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in reqs
+                ],
+            }
+        return {"written": True, "responses": [r.execute() for r in reqs]}
     if plugin == "Hive":
         # HiveSink analog (fakesource_to_hive.conf surface: hive_table_name,
         # hive_metastore_uris, partition_by, sink_columns) — dynamic

@@ -180,6 +180,71 @@ def test_starrocks_conf_through_run_job_dry_run(spark):
     assert sum(len(json.loads(r["body"])) for r in reqs) == 5
 
 
+def test_elasticsearch_bulk_lines_rowkind_routing():
+    """ElasticsearchRowSerializer parity: keyed upserts are
+    update+doc_as_upsert, D and the -U before-image are delete actions,
+    _id joins primary keys on key_delimiter, ${field} index variables
+    resolve per row."""
+    from seatunnel_spark.sinks.elasticsearch import bulk_lines, bulk_request
+
+    rows = [
+        {"pk_id": 1, "name": "A", "op": "I"},
+        {"pk_id": 1, "name": "A", "op": "-U"},
+        {"pk_id": 1, "name": "A2", "op": "U"},
+        {"pk_id": 2, "name": "B", "op": "D"},
+    ]
+    lines = bulk_lines(rows, "st_index", ["pk_id", "name"],
+                       primary_keys=["pk_id", "name"], key_delimiter="-")
+    acts = [json.loads(ln) for ln in lines]
+    assert list(acts[0]) == ["update"] and acts[0]["update"]["_id"] == "1-A"
+    assert acts[1] == {"doc": {"pk_id": 1, "name": "A"}, "doc_as_upsert": True}
+    assert acts[2] == {"delete": {"_index": "st_index", "_id": "1-A"}}  # -U image
+    assert acts[3]["update"]["_id"] == "1-A2"
+    assert acts[5] == {"delete": {"_index": "st_index", "_id": "2-B"}}
+    # unkeyed: plain index actions; deletes refuse
+    lines = bulk_lines([{"pk_id": 7, "name": "x", "op": "I"}], "i", ["pk_id", "name"])
+    assert json.loads(lines[0]) == {"index": {"_index": "i"}}
+    with pytest.raises(ValueError, match="primary_keys"):
+        bulk_lines([{"pk_id": 7, "op": "D"}], "i", ["pk_id"])
+    # ${field} index variables (VariableIndexSerializer)
+    lines = bulk_lines([{"pk_id": 1, "age": 30, "op": "I"}],
+                       "seatunnel_${age}", ["pk_id"], primary_keys=["pk_id"])
+    assert json.loads(lines[0])["update"]["_index"] == "seatunnel_30"
+    req = bulk_request("http://es:9200", lines, username="elastic", password="pw")
+    assert req.url == "http://es:9200/_bulk" and req.method == "POST"
+    assert req.headers["Content-Type"] == "application/x-ndjson"
+    assert req.body.endswith("\n")  # the bulk API's mandatory trailing newline
+
+
+def test_elasticsearch_conf_through_run_job_dry_run(spark):
+    from seatunnel_spark.config import run_job
+    from seatunnel_spark.hocon import load_job_config
+
+    conf = """
+    env { job.mode = "BATCH" }
+    source {
+      FakeSource { result_table_name = "t"  row.num = 5
+                   schema = { fields { id = bigint  name = string } } }
+    }
+    sink {
+      Elasticsearch {
+        source_table_name = "t"
+        hosts = ["http://es:9200"]
+        index = "st_index"
+        primary_keys = ["id"]
+        max_batch_size = 2
+        dry_run = true
+      }
+    }
+    """
+    res = run_job(spark, load_job_config(conf))
+    reqs = res["Elasticsearch#0"]["requests"]
+    assert len(reqs) == 3  # 5 rows at max_batch_size=2
+    assert all(r["url"] == "http://es:9200/_bulk" for r in reqs)
+    total_updates = sum(r["body"].count('"update"') for r in reqs)
+    assert total_updates == 5
+
+
 def test_foreach_partition_sender_renders_per_partition(spark):
     from seatunnel_spark.sinks.streamload import foreach_partition_sender
 
