@@ -525,6 +525,26 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "Redis":
+        # Redis sink (connector-redis surface: host / port / auth / user /
+        # key / data_type / expire). dry_run returns the rendered commands.
+        from seatunnel_spark.sinks.redis import batch_commands, execute_commands
+
+        if not block.get("host") or not block.get("key"):
+            raise ConfigError("Redis sink needs host and key")
+        cmds = batch_commands(
+            df,
+            key_field=block["key"],
+            data_type=str(block.get("data_type", "key")),
+            expire=int(block.get("expire", -1)),
+        )
+        if block.get("dry_run"):
+            return {"dry_run": True, "commands": cmds}
+        replies = execute_commands(
+            block["host"], int(block.get("port", 6379)), cmds,
+            auth=block.get("auth"), user=block.get("user"),
+        )
+        return {"written": True, "replies": len(replies)}
     if plugin == "Elasticsearch":
         # ES bulk sink (connector-elasticsearch surface: hosts / index /
         # primary_keys / key_delimiter / max_batch_size; index may embed
