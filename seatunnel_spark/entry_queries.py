@@ -1802,6 +1802,46 @@ def corpus_pack_bins(spark, sf_dir):
 
 
 @_reg(
+    "corpus_pack_stats",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source, CAST(len({_DW}) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    p(doc_id, source, n_tokens, rn, acc, bin_id) AS (
+      SELECT doc_id, source, n_tokens, rn, n_tokens, CAST(0 AS BIGINT)
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+             CASE WHEN p.acc + t.n_tokens > 256 THEN t.n_tokens
+                  ELSE p.acc + t.n_tokens END,
+             CASE WHEN p.acc + t.n_tokens > 256 THEN p.bin_id + 1
+                  ELSE p.bin_id END
+      FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1),
+    a AS (
+      SELECT source, CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+      FROM p GROUP BY source)
+    SELECT source, n_bins, n_docs, total_tokens, max_doc_tokens,
+           CAST(CAST(total_tokens AS HUGEINT) * 1000000
+                // (CAST(n_bins AS HUGEINT) * 256) AS BIGINT) AS fill_ppm
+    FROM a
+    """,
+)
+def corpus_pack_stats(spark, sf_dir):
+    """Packing-efficiency report per source over the 256-token greedy
+    packer: bin count, token totals, and mean fill ppm — the number a
+    training pipeline reads to size its sequence budget. fill_ppm uses
+    decimal/HUGEINT integral division (token totals × 10^6 exceed int64
+    at corpus scale)."""
+    from seatunnel_spark.operators.curation import pack_stats
+
+    return pack_stats(_t(spark, sf_dir, "documents"), budget=256)
+
+
+@_reg(
     "domain_mix_sample",
     f"""
     WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),

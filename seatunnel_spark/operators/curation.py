@@ -146,6 +146,38 @@ def pack_sequences(
     return slim.groupBy("source").applyInPandas(pack, _PACK_SCHEMA)
 
 
+def pack_stats(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Packing-efficiency report over ``pack_sequences``: per group the bin
+    count, doc count, total tokens, and mean fill in ppm of the budget
+    (floor(total_tokens * 10^6 / (n_bins * budget)), computed with the
+    same decimal(38,0) + integral-div discipline as the mixing thresholds
+    — token totals at corpus scale exceed int64 once multiplied by 10^6).
+    Fill can exceed 10^6 ppm when oversized single docs get their own
+    bins. One tiny aggregate over the packer's output — the report a
+    training pipeline uses to size its sequence budget."""
+    packed = pack_sequences(docs, budget, group_col, id_col, col)
+    dec = "decimal(38,0)"
+    agg = packed.groupBy("source").agg(
+        (F.max("bin_id") + 1).cast("bigint").alias("n_bins"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
+    )
+    return agg.select(
+        "source", "n_bins", "n_docs", "total_tokens", "max_doc_tokens",
+        F.expr(
+            f"CAST((CAST(total_tokens AS {dec}) * 1000000) div "
+            f"(CAST(n_bins AS {dec}) * {int(budget)}) AS BIGINT)"
+        ).alias("fill_ppm"),
+    )
+
+
 def domain_mix_thresholds(
     docs: DataFrame,
     target_frac_ppm: int = 500_000,
