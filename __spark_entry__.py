@@ -5,9 +5,10 @@
 ``seatunnel_spark.entry_queries``; every implemented operator from
 SURVEY.md §2 (CDC source/sink semantics, transforms, Zeta functions,
 analytics heads, and the training-data + curation suites) has an entry,
-and every one of the 58 carries a DuckDB oracle (including the mapInPandas
-media featurizer over its deterministic fake — the real codec remains an
-honest container-limit stub).
+and every one of the 60 carries a DuckDB oracle (including the mapInPandas
+media featurizer over its deterministic fake — PNG decode is real
+stdlib code as of round 5; other codecs remain honest container-limit
+stubs).
 """
 
 from __future__ import annotations
