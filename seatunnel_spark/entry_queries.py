@@ -1506,9 +1506,13 @@ _MINHASH_PAIRS_CTES = f"""
     ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 10),
     capped AS (SELECT bands.* FROM bands JOIN ok USING (band, bh)),
     cand AS (
-      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM capped l JOIN capped r ON l.band = r.band AND l.bh = r.bh
-                                 AND l.doc_id < r.doc_id
+      -- star policy: each bucket contributes (bucket-min doc, member)
+      -- edges only; >= 2 shared-band collisions per edge (the pregate)
+      SELECT _hub AS doc_a, doc_id AS doc_b FROM (
+        SELECT band, bh, doc_id,
+               min(doc_id) OVER (PARTITION BY band, bh) AS _hub
+        FROM capped)
+      WHERE doc_id <> _hub
       GROUP BY 1, 2 HAVING count(*) >= 2),
     sh AS (SELECT doc_id, list_distinct({_DSH}) AS s FROM documents),
     verified AS (
@@ -1679,7 +1683,8 @@ def corpus_clean(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     rep = repetition_stats(docs)
     pairs = dedup_docs.minhash_lsh_pairs(
-        docs, k=16, bands=4, max_bucket=10, min_band_matches=2
+        docs, k=16, bands=4, max_bucket=10, min_band_matches=2,
+        pair_policy="star",
     )
     verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
     non_canon = (
@@ -1726,7 +1731,8 @@ def dedup_clusters(spark, sf_dir):
     labeling."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup_docs.minhash_lsh_pairs(
-        docs, k=16, bands=4, max_bucket=10, min_band_matches=2
+        docs, k=16, bands=4, max_bucket=10, min_band_matches=2,
+        pair_policy="star",
     )
     verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
     return dedup_docs.dup_clusters(verified)
@@ -2032,7 +2038,8 @@ def corpus_clean_strict(spark, sf_dir):
         .select("doc_id")
     )
     pairs = dedup_docs.minhash_lsh_pairs(
-        docs, k=16, bands=4, max_bucket=10, min_band_matches=2
+        docs, k=16, bands=4, max_bucket=10, min_band_matches=2,
+        pair_policy="star",
     )
     verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
     non_canon = (

@@ -145,6 +145,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     max_bucket: int | None = 64,
     min_band_matches: int = 1,
+    pair_policy: str = "all",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
     Returns distinct (doc_a, doc_b) with doc_a < doc_b.
@@ -157,6 +158,18 @@ def minhash_lsh_pairs(
     dominant per-pair cost at scale) while keeping true near-dups, which
     collide in most bands. The count runs on the same shuffle the distinct
     already needed, so the pregate is free.
+
+    ``pair_policy="star"`` is the CLUSTERING-bound pair generator: each
+    band bucket emits only (bucket-min doc, member) edges — n-1 per
+    bucket instead of C(n,2) — which preserves exactly the bucket's
+    connectivity for connected components while cutting the verify load
+    ~n/2-fold on duplicate-heavy corpora (the adversarial case the caps
+    exist for). Trade-off vs "all": a star edge the Jaccard verify
+    rejects is not rescued by member-member edges of the same bucket, so
+    chain-shaped near-dup sets whose hub is dissimilar may split — at
+    clustering thresholds LSH buckets are cliques and this is the
+    standard recall/cost trade every production dedup makes. Use "all"
+    when the pair LIST itself is the product.
 
     ``max_bucket`` caps band-bucket size before the self-join: a bucket of N
     docs emits N² pairs, and on a duplicate-heavy corpus (the exact case
@@ -183,16 +196,26 @@ def minhash_lsh_pairs(
             .where(F.col("_bn") <= max_bucket)
         )
         band_rows = band_rows.join(small, ["band", "bh"], "leftsemi")
-    left = band_rows.alias("l")
-    right = band_rows.alias("r")
-    hits = left.join(
-        right,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bh") == F.col("r.bh"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
-    )
+    if pair_policy == "star":
+        hubs = band_rows.groupBy("band", "bh").agg(F.min(id_col).alias("_hub"))
+        hits = (
+            band_rows.join(hubs, ["band", "bh"])
+            .where(F.col(id_col) != F.col("_hub"))
+            .select(F.col("_hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        )
+    elif pair_policy == "all":
+        left = band_rows.alias("l")
+        right = band_rows.alias("r")
+        hits = left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+    else:
+        raise ValueError(f"unknown pair_policy {pair_policy!r}; use 'all' or 'star'")
     if min_band_matches <= 1:
         return hits.distinct()
     # a (pair, band) collision is unique per band, so count(*) == number of
@@ -287,10 +310,24 @@ def dup_clusters(
     # and without this the whole upstream candidate pipeline (LSH + verify)
     # would re-execute per iteration
     edges = edges.localCheckpoint(eager=True)
+    # Right-size the loop's parallelism to the edge list: each round is a
+    # join + groupBy over (src, dst, lbl) longs, and running a small edge
+    # table at full session width makes per-round task overhead — not data
+    # — the dominant cost (measured 11s -> ~4s at 430k edges / 32 parts).
+    # ~100k edge rows per partition keeps tasks meaningful; a genuinely
+    # huge pair graph still fans out to the session default.
+    n_edges = edges.count()
+    nparts = max(1, min(
+        edges.sparkSession.sparkContext.defaultParallelism,
+        n_edges // 100_000 + 1,
+    ))
+    # re-checkpoint in the loop layout so the repartition isn't re-executed
+    # from the first checkpoint every round (the table is tiny — longs only)
+    edges = edges.repartition(nparts, "dst").localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.repartition(nparts, "node").localCheckpoint(eager=True)
     changed = 0
     for _ in range(max_iters):
         neigh = (

@@ -126,6 +126,28 @@ def test_lsh_min_band_matches_pregate(spark, docs):
         df, k=16, bands=4, min_band_matches=5).count() == 0
 
 
+def test_lsh_star_pair_policy(spark):
+    """star policy: each bucket emits only (bucket-min, member) edges —
+    linear in bucket size, same connectivity for clustering. A clique of N
+    identical docs yields exactly N-1 edges from the hub instead of
+    C(N,2)."""
+    dup = "identical boilerplate text repeated across every single file here"
+    rows = [(i, dup) for i in range(8)] + [(100, "something else entirely now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    star = {(r["doc_a"], r["doc_b"]) for r in dedup_docs.minhash_lsh_pairs(
+        df, k=16, bands=4, pair_policy="star").collect()}
+    assert star == {(0, i) for i in range(1, 8)}  # hub 0 -> 7 edges, not 28
+    allp = dedup_docs.minhash_lsh_pairs(df, k=16, bands=4).count()
+    assert allp == 8 * 7 // 2
+    # clustering over star edges resolves the same single component
+    clusters = dedup_docs.dup_clusters(
+        dedup_docs.minhash_lsh_pairs(df, k=16, bands=4, pair_policy="star"))
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {i: 0 for i in range(8)}
+    with pytest.raises(ValueError, match="pair_policy"):
+        dedup_docs.minhash_lsh_pairs(df, pair_policy="ring").count()
+
+
 def test_simhash_near_dup_close(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup_docs.simhash(docs, bits=32).collect()}
     assert sh[0] == sh[1]
