@@ -84,9 +84,15 @@ class NearDupStore:
     than the watermark leave. State is (band, bh, ts) per accepted doc —
     b rows each, never text, bounded by the watermark window.
 
-    The store is parquet here (rewrite-per-batch is fine for the stand-in
-    scale); a 100 TB deployment keys the same rows in the lake table and
-    evicts via partition drop."""
+    Restart safety: the store is PARTITIONED BY EPOCH
+    (``store_dir/epoch=N/``). A batch filters against every epoch EXCEPT
+    its own and overwrites only its own partition, so a crash-replayed
+    micro-batch (foreachBatch redelivers the in-flight epoch) re-filters
+    against exactly the pre-crash state instead of colliding with its own
+    half-written bands — without this, every doc of a replayed batch
+    would vanish as a "near-dup of itself". Eviction drops whole epoch
+    partitions whose max event time fell behind the watermark horizon —
+    the partition-drop shape a 100 TB deployment uses on the lake table."""
 
     def __init__(
         self,
@@ -105,25 +111,47 @@ class NearDupStore:
         self.max_bucket = max_bucket
         self.jaccard_threshold = jaccard_threshold
 
-    def _load(self, spark):
+    def _epochs(self) -> list[int]:
         import os
 
         if not os.path.isdir(self.store_dir):
+            return []
+        out = []
+        for d in os.listdir(self.store_dir):
+            if d.startswith("epoch="):
+                try:
+                    out.append(int(d.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _load(self, spark, exclude_epoch: int | None = None):
+        import os
+
+        dirs = [
+            os.path.join(self.store_dir, f"epoch={e}")
+            for e in self._epochs()
+            if e != exclude_epoch
+        ]
+        if not dirs:
             return None
         try:
-            return spark.read.parquet(self.store_dir)
+            return spark.read.parquet(*dirs)
         except Exception:
             return None
 
     def filter_batch(
         self,
         batch: DataFrame,
+        epoch_id: int = 0,
         id_col: str = "doc_id",
         col: str = "text",
         ts_col: str = "ts",
     ) -> DataFrame:
         """One micro-batch through the near-dup gate; returns survivors and
-        advances the store (append + evict) as a side effect."""
+        advances the store (own-epoch overwrite + horizon eviction) as a
+        side effect. Calling again with the SAME epoch_id (crash replay)
+        reproduces the same survivors."""
         from seatunnel_spark.operators.dedup_docs import (
             band_hashes,
             dup_clusters,
@@ -149,12 +177,14 @@ class NearDupStore:
         )
         survivors = batch.join(non_canon, id_col, "left_anti")
 
-        # (2) cross-batch: drop docs colliding with the recent store
+        # (2) cross-batch: drop docs colliding with the recent store —
+        # every epoch EXCEPT this one, so a crash-replay of this epoch
+        # filters against exactly the pre-crash state
         sigs = minhash_signatures(survivors, id_col, col, self.k).localCheckpoint(
             eager=True
         )
         bands_new = band_hashes(sigs, id_col, self.k, self.bands)
-        store = self._load(spark)
+        store = self._load(spark, exclude_epoch=int(epoch_id))
         if store is not None and store.head(1):
             hits = (
                 bands_new.join(
@@ -170,21 +200,45 @@ class NearDupStore:
             bands_new = bands_new.join(hits, id_col, "left_anti")
         survivors = survivors.localCheckpoint(eager=True)
 
-        # (3) advance the store: accepted bands in, watermark-expired out
+        # (3) advance the store: this epoch's accepted bands overwrite its
+        # OWN partition (idempotent on replay)...
+        import os
+        import shutil
+
         fresh = bands_new.join(
             survivors.select(id_col, F.col(ts_col).alias("_ts")), id_col
         ).select("band", "bh", F.col("_ts").alias("ts"))
-        merged = fresh if store is None else store.unionByName(fresh)
-        horizon_row = merged.agg(F.max("ts").alias("m")).collect()[0]
-        if horizon_row["m"] is not None:
-            merged = merged.where(
-                F.col("ts") >= F.lit(horizon_row["m"]) - F.expr(
-                    f"INTERVAL {self.watermark_s} SECONDS"
-                )
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(self.store_dir, f"epoch={int(epoch_id)}")
+        )
+        # ...then whole epochs whose max event time fell behind the horizon
+        # drop as partitions (never rewriting other epochs' data)
+        full = self._load(spark)
+        if full is not None:
+            by_epoch = (
+                spark.read.option("basePath", self.store_dir)
+                .parquet(*[os.path.join(self.store_dir, f"epoch={e}")
+                           for e in self._epochs()])
+                .groupBy("epoch")
+                .agg(F.max("ts").alias("mx"))
+                .collect()
             )
-        # materialize before overwriting the directory being read
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(self.store_dir)
+            mx_by_epoch = {r["epoch"]: r["mx"] for r in by_epoch}
+            horizon = max((m for m in mx_by_epoch.values() if m is not None),
+                          default=None)
+            if horizon is not None:
+                from datetime import timedelta
+
+                cutoff = horizon - timedelta(seconds=self.watermark_s)
+                for e in self._epochs():
+                    mx = mx_by_epoch.get(e)
+                    # absent/null max ts = an all-dropped (empty) epoch: no
+                    # bands to keep, safe to drop alongside expired epochs
+                    if mx is None or mx < cutoff:
+                        shutil.rmtree(
+                            os.path.join(self.store_dir, f"epoch={e}"),
+                            ignore_errors=True,
+                        )
         return survivors
 
 
@@ -208,9 +262,9 @@ def run_stream_clean_neardup(
     store = NearDupStore(store_dir, watermark_s=watermark_s, **store_kw)
     out_cols = stream.columns
 
-    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+    def apply_batch(batch: DataFrame, epoch: int) -> None:
         gated = quality_score(batch, col).where(F.col("quality_ok")).select(out_cols)
-        kept = store.filter_batch(gated, col=col, ts_col=ts_col)
+        kept = store.filter_batch(gated, epoch_id=epoch, col=col, ts_col=ts_col)
         kept.select(out_cols).write.mode("append").parquet(out_dir)
 
     q = (

@@ -125,9 +125,9 @@ def test_stream_neardup_drops_variants_across_batches(spark, tmp_path):
     # 2 collapses within batch 0 (canonical = 1); 4 is dropped by the store
     # as a near-dup of 1 across batches; 3 and 5 are genuinely fresh
     assert ids == [1, 3, 5]
-    # the store holds only (band, bh, ts) — never text — and is non-empty
+    # the store holds only (band, bh, ts) per epoch partition — never text
     st = spark.read.parquet(str(tmp_path / "store"))
-    assert set(st.columns) == {"band", "bh", "ts"}
+    assert set(st.columns) == {"band", "bh", "ts", "epoch"}
     assert st.count() > 0
 
 
@@ -146,22 +146,30 @@ def test_neardup_store_evicts_past_watermark(spark, tmp_path):
         [(1, base, "2024-01-01T10:00:00")],
         "doc_id long, text string, ts string",
     ).withColumn("ts", F.to_timestamp("ts"))
-    assert [r["doc_id"] for r in store.filter_batch(b0).collect()] == [1]
+    assert [r["doc_id"] for r in store.filter_batch(b0, epoch_id=0).collect()] == [1]
     # 5 min later (inside watermark): variant dropped
     b1 = spark.createDataFrame(
         [(2, base.replace("item4", "entry4"), "2024-01-01T10:05:00")],
         "doc_id long, text string, ts string",
     ).withColumn("ts", F.to_timestamp("ts"))
-    assert store.filter_batch(b1).count() == 0
+    assert store.filter_batch(b1, epoch_id=1).count() == 0
+    # crash replay of the SAME epoch: identical outcome, not self-collision
+    assert store.filter_batch(b1, epoch_id=1).count() == 0
+    assert [r["doc_id"]
+            for r in store.filter_batch(b0, epoch_id=0).collect()] == [1]
     # 2 hours later (far past watermark): the store evicted doc 1's bands
     # when the horizon advanced, so the variant is re-admitted
     b2 = spark.createDataFrame(
         [(3, base.replace("item8", "entry8"), "2024-01-01T12:30:00")],
         "doc_id long, text string, ts string",
     ).withColumn("ts", F.to_timestamp("ts"))
-    assert [r["doc_id"] for r in store.filter_batch(b2).collect()] == [3]
-    st = spark.read.parquet(str(tmp_path / "store"))
+    assert [r["doc_id"] for r in store.filter_batch(b2, epoch_id=2).collect()] == [3]
+    st = spark.read.parquet(str(tmp_path / "store" / "epoch=2"))
     assert st.where(F.col("ts") < "2024-01-01T12:00:00").count() == 0
+    import os
+
+    # epoch partitions 0/1 dropped whole (partition-drop eviction)
+    assert sorted(os.listdir(tmp_path / "store")) == ["epoch=2"]
 
 
 def test_stream_corpus_clean_gates_before_dedup(spark, tmp_path):
