@@ -525,6 +525,32 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "MongoDB":
+        # MongoDB sink (connector-mongodb surface: uri / database /
+        # collection / primary-key / upsert-enable). Renders ordered bulk
+        # write commands; the wire protocol is binary, so only dry_run is
+        # executable in-sandbox — a real deployment uses the Spark MongoDB
+        # connector or any driver with these exact commands.
+        from seatunnel_spark.sinks.mongodb import commands_for_batch
+
+        pk = block.get("primary-key") or block.get("primary_keys")
+        pk = [pk] if isinstance(pk, str) else list(pk or [])
+        if not block.get("collection") or not pk:
+            raise ConfigError("MongoDB sink needs collection and primary-key")
+        cmds = commands_for_batch(
+            df,
+            block["collection"],
+            pk,
+            upsert=bool(block.get("upsert-enable", True)),
+        )
+        if not block.get("dry_run"):
+            raise ConfigError(
+                "MongoDB sink is dry_run-only in this sandbox (binary wire "
+                "protocol); execute the rendered commands with a driver or "
+                "use the Spark MongoDB connector"
+            )
+        return {"dry_run": True, "database": block.get("database"),
+                "commands": cmds}
     if plugin == "Redis":
         # Redis sink (connector-redis surface: host / port / auth / user /
         # key / data_type / expire). dry_run returns the rendered commands.
