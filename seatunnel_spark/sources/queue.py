@@ -142,10 +142,10 @@ def read_changelog_stream(
             )
 
             raw = pulsar_value_stream(spark, pulsar_read_options(**passthrough))
-        elif transport == "rocketmq":
+        elif transport in ("rocketmq", "rabbitmq"):
             raise ValueError(
-                "rocketmq has no Spark Structured Streaming transport; use "
-                "seatunnel_spark.sources.rocketmq.rocketmq_consumer_options "
+                f"{transport} has no Spark Structured Streaming transport; "
+                f"use seatunnel_spark.sources.{transport}'s option generator "
                 "to configure a relay into a topic dir / Kafka topic and "
                 "stream that instead"
             )
