@@ -359,6 +359,43 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
         )
         res = backend.merge_into(batch, epoch)
         return {"written": True, "merge_sql": res["merge_sql"]}
+    if plugin == "Paimon":
+        # Paimon sink (connector-paimon surface mapped onto the Spark SQL
+        # seam, lake/paimon.py): same LWW semantics as Iceberg/LakeTable;
+        # dry_run returns the statements (no Paimon jar in this sandbox).
+        from seatunnel_spark.lake.paimon import PaimonSqlBackend
+
+        dry = bool(block.get("dry_run", False))
+        backend = PaimonSqlBackend(
+            block["table"],
+            block["primary_keys"],
+            run_sql=None if dry else df.sparkSession.sql,
+        )
+        batch = df
+        if "op" not in batch.columns:
+            batch = batch.withColumn("op", F.lit("I"))
+        batch = batch.where(F.col("op") != "-U")
+        if "seq" not in batch.columns:
+            batch = batch.withColumn("seq", F.monotonically_increasing_id())
+        cols = [c for c in batch.columns if c not in ("op", "seq")]
+        fields = [(n, t) for n, t in batch.dtypes if n not in ("op", "seq")]
+        if dry:
+            return {
+                "dry_run": True,
+                "create_sql": backend.create_sql(
+                    fields, num_buckets=int(block.get("num_buckets", 16))
+                ),
+                "merge_sql": backend.merge_sql("batch_src", cols),
+                "append_upsert_sql": backend.append_upsert_sql("batch_src", cols),
+            }
+        import uuid as _uuid
+
+        epoch = block.get("epoch_id") or f"config.{_uuid.uuid4().hex[:12]}"
+        backend.run_sql(
+            backend.create_sql(fields, num_buckets=int(block.get("num_buckets", 16)))
+        )
+        res = backend.merge_into(batch, epoch)
+        return {"written": True, "merge_sql": res["merge_sql"]}
     if plugin == "Clickhouse":
         # Reference connector-clickhouse sink (ClickhouseSinkWriter +
         # JdbcBatchStatementExecutorBuilder): upserts land as plain INSERTs
