@@ -562,6 +562,37 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "Hbase":
+        # HBase sink (connector-hbase surface: zookeeper_quorum / table /
+        # rowkey_column / rowkey_delimiter / family_name / version_column /
+        # null_mode). Renders Put mutations + hbase-shell text; the RPC
+        # protocol is protobuf-over-SASL, so dry_run-only in-sandbox.
+        from seatunnel_spark.sinks.hbase import mutations_for_batch, shell_commands
+
+        rk = block.get("rowkey_column")
+        rk = [rk] if isinstance(rk, str) else list(rk or [])
+        if not block.get("table") or not rk:
+            raise ConfigError("Hbase sink needs table and rowkey_column")
+        fam = dict(block.get("family_name") or {})
+        default_family = fam.pop("all_columns", "info")
+        muts = mutations_for_batch(
+            df,
+            rk,
+            rowkey_delimiter=block.get("rowkey_delimiter", ""),
+            family_map=fam,
+            default_family=default_family,
+            version_column=block.get("version_column"),
+            null_mode=str(block.get("null_mode", "skip")).lower(),
+            route_deletes=bool(block.get("route_deletes", False)),
+        )
+        if not block.get("dry_run"):
+            raise ConfigError(
+                "Hbase sink is dry_run-only in this sandbox (protobuf RPC); "
+                "execute the rendered mutations via the HBase client or "
+                "the hbase-shell text"
+            )
+        return {"dry_run": True, "mutations": muts,
+                "shell": shell_commands(muts, block["table"])}
     if plugin == "MongoDB":
         # MongoDB sink (connector-mongodb surface: uri / database /
         # collection / primary-key / upsert-enable). Renders ordered bulk
