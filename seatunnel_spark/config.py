@@ -562,6 +562,36 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "InfluxDB":
+        # InfluxDB sink (connector-influxdb surface: url / database /
+        # measurement / key_tags / key_time). Line protocol over plain
+        # HTTP — executable with stdlib; dry_run returns the requests.
+        from seatunnel_spark.sinks.influxdb import requests_for_batch as flux_reqs
+
+        if not block.get("url") or not block.get("measurement"):
+            raise ConfigError("InfluxDB sink needs url and measurement")
+        reqs = flux_reqs(
+            df,
+            block["url"],
+            block.get("database", "default"),
+            block["measurement"],
+            key_tags=block.get("key_tags"),
+            key_time=block.get("key_time"),
+            batch_size=int(block.get("batch_size", 1024)),
+            username=block.get("username"),
+            password=block.get("password"),
+            retention_policy=block.get("rp"),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in reqs
+                ],
+            }
+        return {"written": True, "responses": [r.execute() for r in reqs]}
     if plugin == "Hbase":
         # HBase sink (connector-hbase surface: zookeeper_quorum / table /
         # rowkey_column / rowkey_delimiter / family_name / version_column /
