@@ -562,6 +562,30 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "Cassandra":
+        # Cassandra sink (connector-cassandra surface: host / keyspace /
+        # table / fields / batch_size / batch_type). Renders the
+        # prepared-INSERT batches as literal CQL; binary native protocol →
+        # dry_run-only in-sandbox.
+        from seatunnel_spark.sinks.cassandra import statements_for_batch
+
+        if not block.get("keyspace") or not block.get("table"):
+            raise ConfigError("Cassandra sink needs keyspace and table")
+        stmts = statements_for_batch(
+            df,
+            block["keyspace"],
+            block["table"],
+            fields=block.get("fields"),
+            batch_size=int(block.get("batch_size", 500)),
+            batch_type=str(block.get("batch_type", "UNLOGGED")),
+        )
+        if not block.get("dry_run"):
+            raise ConfigError(
+                "Cassandra sink is dry_run-only in this sandbox (binary "
+                "native protocol); execute the rendered CQL with cqlsh or "
+                "any driver"
+            )
+        return {"dry_run": True, "statements": stmts}
     if plugin == "InfluxDB":
         # InfluxDB sink (connector-influxdb surface: url / database /
         # measurement / key_tags / key_time). Line protocol over plain
