@@ -146,6 +146,12 @@ def _source_df(spark: SparkSession, block: dict) -> DataFrame:
         from seatunnel_spark.sources.http import read_http_source
 
         return read_http_source(spark, block)
+    if plugin == "Socket":
+        # TCP text source (connector-socket): newline-delimited lines read
+        # until the peer closes -> (value: string) rows
+        from seatunnel_spark.sources.socket import socket_batch_source
+
+        return socket_batch_source(spark, block)
     if plugin == "Jdbc":
         from seatunnel_spark.sources.jdbc import jdbc_partitioned_read
 
@@ -230,6 +236,19 @@ def _apply_transform(block: dict, df: DataFrame, src_name: str) -> DataFrame:
 
 def _run_sink(block: dict, df: DataFrame) -> dict:
     plugin = block.get("plugin")
+    if plugin == "Socket":
+        # TCP sink (connector-socket SocketClient): one JSON line per row
+        # with bounded reconnect retries — executable with stdlib
+        from seatunnel_spark.sources.socket import write_socket_rows
+
+        if not block.get("host") or block.get("port") is None:
+            raise ConfigError("Socket sink needs host and port")
+        rows = [r.asDict() for r in df.collect()]
+        n = write_socket_rows(
+            rows, block["host"], int(block["port"]),
+            max_retries=int(block.get("max_retries", 3)),
+        )
+        return {"written": True, "rows": n}
     if plugin == "Console":
         rows = df.limit(int(block.get("limit", 20))).collect()
         for r in rows:
