@@ -581,6 +581,55 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "AmazonDynamoDB":
+        # DynamoDB sink (connector-amazondynamodb surface: url / region /
+        # table / batch_size). Renders BatchWriteItem payloads; SigV4
+        # signing needs an SDK → dry_run-only in-sandbox.
+        from seatunnel_spark.sinks.dynamodb import requests_for_batch as ddb_reqs
+
+        if not block.get("table"):
+            raise ConfigError("AmazonDynamoDB sink needs table")
+        reqs = ddb_reqs(
+            df,
+            block["table"],
+            batch_size=int(block.get("batch_size", 25)),
+            key_columns=block.get("key_columns"),
+        )
+        if not block.get("dry_run"):
+            raise ConfigError(
+                "AmazonDynamoDB sink is dry_run-only in this sandbox (SigV4 "
+                "signing requires an AWS SDK); send the rendered "
+                "BatchWriteItem payloads with any SDK/CLI"
+            )
+        return {"dry_run": True, "requests": reqs}
+    if plugin == "S3Redshift":
+        # S3-Redshift sink (connector-s3-redshift): stage files, then run
+        # the user's execute_sql with ${path} substituted at commit — the
+        # exact two-step the reference's aggregated committer performs.
+        if not block.get("path") or not block.get("execute_sql"):
+            raise ConfigError("S3Redshift sink needs path and execute_sql")
+        write_file_sink(
+            df,
+            block.get("file_format_type", "parquet"),
+            block["path"],
+            save_mode=block.get("save_mode", "error_if_exists"),
+        )
+        commit_sql = str(block["execute_sql"]).replace("${path}", block["path"])
+        if block.get("dry_run", True):
+            # COPY needs a live Redshift JDBC endpoint; the staged files +
+            # rendered statement ARE the commit contract
+            return {"staged": True, "path": block["path"],
+                    "commit_sql": commit_sql}
+        from seatunnel_spark.sources.jdbc import driver_connection
+
+        conn = driver_connection(df.sparkSession, block["jdbc_url"])
+        try:
+            st = conn.createStatement()
+            st.execute(commit_sql)
+            st.close()
+        finally:
+            conn.close()
+        return {"written": True, "commit_sql": commit_sql}
     if plugin == "Cassandra":
         # Cassandra sink (connector-cassandra surface: host / keyspace /
         # table / fields / batch_size / batch_type). Renders the
