@@ -581,6 +581,28 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "Neo4j":
+        # Neo4j sink (connector-neo4j surface: uri / username / password /
+        # database / query / queryParamPosition / max_batch_size). Renders
+        # (cypher, parameters) pairs; bolt is binary → dry_run-only.
+        from seatunnel_spark.sinks.neo4j import queries_for_batch
+
+        if not block.get("query"):
+            raise ConfigError("Neo4j sink needs query")
+        qs = queries_for_batch(
+            df,
+            block["query"],
+            query_param_position=block.get("queryParamPosition"),
+            max_batch_size=int(block.get("max_batch_size", 500)),
+        )
+        if not block.get("dry_run"):
+            raise ConfigError(
+                "Neo4j sink is dry_run-only in this sandbox (binary bolt "
+                "protocol); run the rendered (query, parameters) pairs via "
+                "any Neo4j driver"
+            )
+        return {"dry_run": True,
+                "queries": [{"query": q, "parameters": p} for q, p in qs]}
     if plugin == "AmazonDynamoDB":
         # DynamoDB sink (connector-amazondynamodb surface: url / region /
         # table / batch_size). Renders BatchWriteItem payloads; SigV4
