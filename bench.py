@@ -155,6 +155,11 @@ SCALEUP_HEADS = [
     "corpus_decontaminate",
     "corpus_pack_bins",
     "domain_mix_sample",
+    # round-5 additions: the cluster capstones (star pair policy) and the
+    # packing-efficiency report
+    "dedup_clusters",
+    "embedding_dedup_clusters",
+    "corpus_pack_stats",
 ]
 SCALEUP_FACTOR = int(os.environ.get("BENCH_SCALEUP_FACTOR", "10"))
 
