@@ -581,6 +581,42 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin in ("Slack", "DingTalk", "Feishu"):
+        # Notification family: each row posts as one text message. Plain
+        # HTTPS JSON — executable; dry_run returns the rendered requests.
+        import time as _time
+
+        from seatunnel_spark.sinks import webhooks as wh
+
+        msgs = wh.rows_as_messages(df, limit=int(block.get("limit", 100)))
+        if plugin == "Slack":
+            if not block.get("oauth_token") or not block.get("slack_channel"):
+                raise ConfigError("Slack sink needs oauth_token and slack_channel")
+            reqs = [wh.slack_post_message(block["oauth_token"],
+                                          block["slack_channel"], m)
+                    for m in msgs]
+        elif plugin == "DingTalk":
+            if not block.get("url"):
+                raise ConfigError("DingTalk sink needs url")
+            ts = int(block.get("timestamp_ms") or _time.time() * 1000)
+            reqs = [wh.dingtalk_send(block["url"], m,
+                                     secret=block.get("secret"),
+                                     timestamp_ms=ts)
+                    for m in msgs]
+        else:
+            if not block.get("url"):
+                raise ConfigError("Feishu sink needs url")
+            reqs = [wh.feishu_send(block["url"], m) for m in msgs]
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in reqs
+                ],
+            }
+        return {"written": True, "responses": [r.execute() for r in reqs]}
     if plugin == "Neo4j":
         # Neo4j sink (connector-neo4j surface: uri / username / password /
         # database / query / queryParamPosition / max_batch_size). Renders
