@@ -581,6 +581,33 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "EmailSink":
+        # Email sink (connector-email surface): headline + content + the
+        # batch as a CSV attachment. dry_run returns the RFC-5322 text;
+        # live delivery uses smtplib against email_host.
+        from seatunnel_spark.sinks.email import message_for_batch, send_message
+
+        required = ("email_from_address", "email_to_address")
+        if not all(block.get(k) for k in required):
+            raise ConfigError("EmailSink needs email_from_address and email_to_address")
+        msg = message_for_batch(
+            df,
+            block["email_from_address"],
+            block["email_to_address"],
+            block.get("email_message_headline", "seatunnel batch"),
+            block.get("email_message_content", ""),
+        )
+        if block.get("dry_run"):
+            return {"dry_run": True, "message": msg.as_string()}
+        send_message(
+            msg,
+            block["email_host"],
+            port=int(block.get("email_smtp_port", 465)),
+            password=block.get("email_authorization_code"),
+            use_ssl=str(block.get("email_transport_protocol", "smtps")).lower()
+            != "smtp",
+        )
+        return {"written": True}
     if plugin in ("Slack", "DingTalk", "Feishu"):
         # Notification family: each row posts as one text message. Plain
         # HTTPS JSON — executable; dry_run returns the rendered requests.
