@@ -581,6 +581,33 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "TDengine":
+        # TDengine sink (connector-tdengine surface: url / username /
+        # password / database / stable / tags_num + the reference's
+        # [subtable, metric..., tag...] row layout) over the REST SQL API.
+        from seatunnel_spark.sinks.tdengine import requests_for_batch as td_reqs
+
+        if not block.get("stable"):
+            raise ConfigError("TDengine sink needs stable")
+        reqs = td_reqs(
+            df,
+            block.get("url", "http://localhost:6041"),
+            block["stable"],
+            int(block.get("tags_num", 0)),
+            username=block.get("username", "root"),
+            password=block.get("password", "taosdata"),
+            database=block.get("database"),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in reqs
+                ],
+            }
+        return {"written": True, "responses": [r.execute() for r in reqs]}
     if plugin == "EmailSink":
         # Email sink (connector-email surface): headline + content + the
         # batch as a CSV attachment. dry_run returns the RFC-5322 text;
