@@ -581,6 +581,38 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "IoTDB":
+        # IoTDB sink (connector-iotdb surface: node_urls / key_device /
+        # key_timestamp / key_measurement_fields / storage_group /
+        # batch_size) over the public REST v2 insertRecords endpoint.
+        from seatunnel_spark.sinks.iotdb import requests_for_batch as iot_reqs
+
+        nodes = block.get("node_urls") or []
+        if not nodes or not block.get("key_device") or not block.get("key_timestamp"):
+            raise ConfigError(
+                "IoTDB sink needs node_urls, key_device and key_timestamp"
+            )
+        reqs = iot_reqs(
+            df,
+            nodes[0],
+            block["key_device"],
+            block["key_timestamp"],
+            key_measurement_fields=block.get("key_measurement_fields"),
+            storage_group=block.get("storage_group"),
+            batch_size=int(block.get("batch_size", 1024)),
+            username=block.get("username", "root"),
+            password=block.get("password", "root"),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in reqs
+                ],
+            }
+        return {"written": True, "responses": [r.execute() for r in reqs]}
     if plugin == "TDengine":
         # TDengine sink (connector-tdengine surface: url / username /
         # password / database / stable / tags_num + the reference's
