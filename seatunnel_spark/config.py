@@ -152,6 +152,13 @@ def _source_df(spark: SparkSession, block: dict) -> DataFrame:
         from seatunnel_spark.sources.socket import socket_batch_source
 
         return socket_batch_source(spark, block)
+    if plugin == "GoogleSheets":
+        # Sheets values.get source (connector-google-sheets surface);
+        # pre-obtained access_token (RS256 JWT signing needs RSA, not
+        # stdlib), base_url override for tests
+        from seatunnel_spark.sources.sheets import read_sheets_source
+
+        return read_sheets_source(spark, block)
     if plugin == "Jdbc":
         from seatunnel_spark.sources.jdbc import jdbc_partitioned_read
 
@@ -570,6 +577,30 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 props=cfg,
             ),
             chunk_rows=int(block.get("batch_max_rows", 100_000)),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in reqs
+                ],
+            }
+        return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "Sentry":
+        # Sentry sink (connector-sentry surface: dsn / env / release):
+        # each row captures as a message event on the public store API.
+        from seatunnel_spark.sinks.sentry import requests_for_batch as sentry_reqs
+
+        if not block.get("dsn"):
+            raise ConfigError("Sentry sink needs dsn")
+        reqs = sentry_reqs(
+            df,
+            block["dsn"],
+            environment=block.get("env"),
+            release=block.get("release"),
+            limit=int(block.get("limit", 100)),
         )
         if block.get("dry_run"):
             return {
