@@ -588,6 +588,71 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "SelectDBCloud":
+        # SelectDB Cloud sink (connector-selectdb-cloud surface:
+        # load-url / table.identifier / cluster-name / sink.enable-delete):
+        # staged uploads + the exact COPY INTO commit through /copy/query.
+        import uuid as _uuid
+
+        from seatunnel_spark.sinks.selectdb import (
+            commit_request,
+            copy_into_sql,
+            upload_request,
+        )
+        from seatunnel_spark.sinks.streamload import (
+            DORIS_DELETE_SIGN,
+            _rows_body,
+        )
+
+        if not block.get("load-url") or not block.get("table.identifier"):
+            raise ConfigError("SelectDBCloud sink needs load-url and table.identifier")
+        enable_delete = str(block.get("sink.enable-delete", "false")).lower() == "true"
+        batch = df
+        if enable_delete and "op" not in batch.columns:
+            batch = batch.withColumn("op", F.lit("I"))
+        if "op" in batch.columns and not enable_delete:
+            batch = batch.where(F.col("op") != "-U")
+        cols = [c for c in batch.columns if c not in ("op", "seq")]
+        sel = cols + (["op"] if "op" in batch.columns else [])
+        rows = [r.asDict() for r in batch.select(*sel).collect()]
+        chunk = int(block.get("sink.buffer-count", 100_000))
+        prefix = block.get("sink.label-prefix") or f"st-{_uuid.uuid4().hex[:8]}"
+        uploads, files = [], []
+        for i in range(0, max(len(rows), 1), chunk):
+            fname = f"{prefix}_{i // chunk}.csv"
+            body = _rows_body(
+                rows[i : i + chunk], cols, "csv",
+                field_delimiter="\t", line_delimiter="\n",
+                delete_col=DORIS_DELETE_SIGN if enable_delete else None,
+            )
+            files.append(fname)
+            uploads.append(upload_request(
+                block["load-url"], fname, body,
+                username=block.get("username", "admin"),
+                password=block.get("password", ""),
+            ))
+        sql = copy_into_sql(block["table.identifier"], files,
+                            enable_delete=enable_delete,
+                            props=block.get("selectdb.config"))
+        commit = commit_request(
+            block["load-url"], sql, cluster=block.get("cluster-name"),
+            username=block.get("username", "admin"),
+            password=block.get("password", ""),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "uploads": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in uploads
+                ],
+                "copy_sql": sql,
+                "commit": {"url": commit.url, "body": commit.body},
+            }
+        resp = [r.execute() for r in uploads]
+        resp.append(commit.execute())
+        return {"written": True, "responses": resp}
     if plugin == "Sentry":
         # Sentry sink (connector-sentry surface: dsn / env / release):
         # each row captures as a message event on the public store API.
