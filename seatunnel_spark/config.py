@@ -588,6 +588,26 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "Kudu":
+        # Kudu sink (connector-kudu surface: kudu_master / kudu_table) over
+        # the public Impala SQL surface: UPSERT INTO (Kudu's native keyed
+        # upsert) + DELETE WHERE for CDC deletes. Binary RPC → dry_run-only.
+        from seatunnel_spark.sinks.kudu import statements_for_batch as kudu_stmts
+
+        if not block.get("kudu_table"):
+            raise ConfigError("Kudu sink needs kudu_table")
+        stmts = kudu_stmts(
+            df,
+            block["kudu_table"],
+            key_columns=block.get("key_columns"),
+            batch_size=int(block.get("batch_size", 1000)),
+        )
+        if not block.get("dry_run"):
+            raise ConfigError(
+                "Kudu sink is dry_run-only in this sandbox (binary RPC); run "
+                "the rendered statements via impala-shell or Impala JDBC"
+            )
+        return {"dry_run": True, "statements": stmts}
     if plugin == "SelectDBCloud":
         # SelectDB Cloud sink (connector-selectdb-cloud surface:
         # load-url / table.identifier / cluster-name / sink.enable-delete):
