@@ -588,6 +588,33 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "GoogleFirestore":
+        # Firestore sink (connector-google-firestore surface: project_id /
+        # collection) over the public v1 documents:commit REST API; auth
+        # takes a pre-obtained bearer token (RS256 signing needs RSA).
+        from seatunnel_spark.sinks.firestore import requests_for_batch as fs_reqs
+
+        if not block.get("project_id") or not block.get("collection"):
+            raise ConfigError("GoogleFirestore sink needs project_id and collection")
+        reqs = fs_reqs(
+            df,
+            block["project_id"],
+            block["collection"],
+            key_column=block.get("key_column"),
+            batch_size=int(block.get("batch_size", 500)),
+            access_token=block.get("access_token"),
+            base_url=block.get("base_url", "https://firestore.googleapis.com"),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in reqs
+                ],
+            }
+        return {"written": True, "responses": [r.execute() for r in reqs]}
     if plugin == "Kudu":
         # Kudu sink (connector-kudu surface: kudu_master / kudu_table) over
         # the public Impala SQL surface: UPSERT INTO (Kudu's native keyed
