@@ -159,6 +159,13 @@ def _source_df(spark: SparkSession, block: dict) -> DataFrame:
         from seatunnel_spark.sources.sheets import read_sheets_source
 
         return read_sheets_source(spark, block)
+    if plugin == "OpenMldb":
+        # bounded SQL read over the public APIServer REST surface
+        # (connector-openmldb rides the proprietary SDK; zk-only
+        # addressing is refused loudly in the reader)
+        from seatunnel_spark.sources.openmldb import read_openmldb_source
+
+        return read_openmldb_source(spark, block)
     if plugin == "Jdbc":
         from seatunnel_spark.sources.jdbc import jdbc_partitioned_read
 
