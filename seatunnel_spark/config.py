@@ -642,6 +642,42 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 "the rendered statements via impala-shell or Impala JDBC"
             )
         return {"dry_run": True, "statements": stmts}
+    if plugin == "Maxcompute":
+        # MaxCompute sink (connector-maxcompute surface: accessId /
+        # accesskey / endpoint / project / table_name / partition_spec /
+        # overwrite / split_row) over the public ODPS REST instance
+        # submission: signed POST /projects/{p}/instances per chunk.
+        from email.utils import formatdate
+
+        from seatunnel_spark.sinks.maxcompute import (
+            requests_for_batch as odps_reqs,
+        )
+
+        for k in ("accessId", "accesskey", "endpoint", "project", "table_name"):
+            if not block.get(k):
+                raise ConfigError(f"Maxcompute sink needs {k}")
+        reqs = odps_reqs(
+            df,
+            block["endpoint"],
+            block["project"],
+            block["table_name"],
+            block["accessId"],
+            block["accesskey"],
+            date=block.get("date") or formatdate(usegmt=True),
+            partition_spec=block.get("partition_spec"),
+            overwrite=str(block.get("overwrite", "false")).lower() == "true",
+            split_row=int(block.get("split_row", 10_000)),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in reqs
+                ],
+            }
+        return {"written": True, "responses": [r.execute() for r in reqs]}
     if plugin == "SelectDBCloud":
         # SelectDB Cloud sink (connector-selectdb-cloud surface:
         # load-url / table.identifier / cluster-name / sink.enable-delete):
