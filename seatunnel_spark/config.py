@@ -642,6 +642,48 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 "the rendered statements via impala-shell or Impala JDBC"
             )
         return {"dry_run": True, "statements": stmts}
+    if plugin == "Tablestore":
+        # Tablestore sink (connector-tablestore surface: end_point /
+        # instance_name / access_key_id / access_key_secret / table /
+        # batch_size / primary_keys) — PlainBuffer rows in the public
+        # proto envelope, signed x-ots-* BatchWriteRow exchanges.
+        import base64 as _b64
+        import datetime as _dt
+
+        from seatunnel_spark.sinks.tablestore import (
+            requests_for_batch as ots_reqs,
+        )
+
+        for k in ("end_point", "instance_name", "access_key_id",
+                  "access_key_secret", "table", "primary_keys"):
+            if not block.get(k):
+                raise ConfigError(f"Tablestore sink needs {k}")
+        pks = block["primary_keys"]
+        if isinstance(pks, str):
+            pks = [p.strip() for p in pks.split(",") if p.strip()]
+        reqs = ots_reqs(
+            df,
+            block["end_point"],
+            block["instance_name"],
+            block["access_key_id"],
+            block["access_key_secret"],
+            block["table"],
+            pks,
+            date=block.get("date") or _dt.datetime.now(_dt.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S.") + "000Z",
+            batch_size=int(block.get("batch_size", 25)),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "headers": r.headers,
+                     "body_b64": _b64.b64encode(r.body).decode()}
+                    for r in reqs
+                ],
+            }
+        return {"written": True,
+                "responses": [len(r.execute()) for r in reqs]}
     if plugin == "Maxcompute":
         # MaxCompute sink (connector-maxcompute surface: accessId /
         # accesskey / endpoint / project / table_name / partition_spec /

@@ -1,0 +1,306 @@
+"""Tablestore (Aliyun OTS) sink — full wire seam built from the public
+specs: rows are encoded in the documented **PlainBuffer** format (the
+Tablestore API reference publishes the tag layout and the CRC-8
+(poly x^8+x^2+x+1) checksum scheme), wrapped in the public
+``table_store.proto`` BatchWriteRow envelope (hand-rolled protobuf —
+three tiny messages), and submitted as the documented signed
+``POST {endpoint}/BatchWriteRow`` exchange (x-ots-* headers +
+base64(hmac-sha1) signature over "/BatchWriteRow\\nPOST\\n\\n{sorted
+x-ots headers}").
+
+Reference: connector-tablestore ``serialize/DefaultSeaTunnelRowSerializer
+.java`` (each row → RowPutChange(table, primary_keys from config, the
+rest as attribute columns; Condition IGNORE; nulls skipped),
+``sink/TablestoreSinkClient.java`` (batchList flushed as one
+BatchWriteRowRequest per batch_size), ``config/TablestoreConfig.java``
+(end_point / instance_name / access_key_id / access_key_secret / table /
+batch_size / primary_keys).
+
+A decoder ships beside the encoder so tests prove byte-level
+round-tripping, not just self-consistency."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import struct
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------- PlainBuffer
+HEADER = 0x75
+TAG_ROW_PK = 0x01
+TAG_ROW_DATA = 0x02
+TAG_CELL = 0x03
+TAG_CELL_NAME = 0x04
+TAG_CELL_VALUE = 0x05
+TAG_DELETE_ROW_MARKER = 0x08
+TAG_ROW_CHECKSUM = 0x09
+TAG_CELL_CHECKSUM = 0x0A
+
+VT_INTEGER = 0x0
+VT_DOUBLE = 0x1
+VT_BOOLEAN = 0x2
+VT_STRING = 0x3
+VT_NULL = 0x6
+VT_BLOB = 0x7
+
+_CRC8_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TABLE.append(_c)
+
+
+def crc8(data: bytes, crc: int = 0) -> int:
+    for b in data:
+        crc = _CRC8_TABLE[(crc ^ b) & 0xFF]
+    return crc
+
+
+def _format_value(v) -> bytes:
+    """The checksummed value form: [value-type byte][payload]. Integers
+    are int64 LE, strings/blobs length-prefixed (uint32 LE), matching the
+    serializer's ColumnValue.from{Long,String,Boolean,Double} lattice."""
+    if v is None:
+        return bytes([VT_NULL])
+    if isinstance(v, bool):
+        return bytes([VT_BOOLEAN, 1 if v else 0])
+    if isinstance(v, int):
+        return bytes([VT_INTEGER]) + struct.pack("<q", v)
+    if isinstance(v, float):
+        return bytes([VT_DOUBLE]) + struct.pack("<d", v)
+    if isinstance(v, bytes):
+        return bytes([VT_BLOB]) + struct.pack("<I", len(v)) + v
+    b = str(v).encode()
+    return bytes([VT_STRING]) + struct.pack("<I", len(b)) + b
+
+
+def _cell(name: str, value) -> tuple[bytes, int]:
+    """One TAG_CELL block and its checksum byte: name (length-prefixed),
+    value (length-prefixed formatted form), trailing TAG_CELL_CHECKSUM.
+    The cell checksum covers name bytes then formatted value bytes."""
+    nb = name.encode()
+    fv = _format_value(value)
+    ck = crc8(fv, crc8(nb))
+    body = (
+        bytes([TAG_CELL_NAME]) + struct.pack("<I", len(nb)) + nb
+        + bytes([TAG_CELL_VALUE]) + struct.pack("<I", len(fv)) + fv
+        + bytes([TAG_CELL_CHECKSUM, ck])
+    )
+    return bytes([TAG_CELL]) + body, ck
+
+
+def encode_put_row(pk: list[tuple], attrs: list[tuple]) -> bytes:
+    """RowPutChange → PlainBuffer bytes: header, TAG_ROW_PK cells,
+    TAG_ROW_DATA cells, TAG_ROW_CHECKSUM (crc over every cell checksum
+    plus the no-delete-marker 0 byte). Null attributes are skipped — the
+    reference serializer's convertColumn returns null for them."""
+    if not pk:
+        raise ValueError("put row needs at least one primary-key column")
+    out = [struct.pack("<I", HEADER), bytes([TAG_ROW_PK])]
+    row_ck = 0
+    for name, v in pk:
+        if v is None:
+            raise ValueError(f"primary key {name!r} is null")
+        blk, ck = _cell(name, v)
+        out.append(blk)
+        row_ck = crc8(bytes([ck]), row_ck)
+    live_attrs = [(n, v) for n, v in attrs if v is not None]
+    if live_attrs:
+        out.append(bytes([TAG_ROW_DATA]))
+        for name, v in live_attrs:
+            blk, ck = _cell(name, v)
+            out.append(blk)
+            row_ck = crc8(bytes([ck]), row_ck)
+    row_ck = crc8(b"\x00", row_ck)  # no delete marker on a put
+    out.append(bytes([TAG_ROW_CHECKSUM, row_ck]))
+    return b"".join(out)
+
+
+def decode_plainbuffer(buf: bytes) -> dict:
+    """Inverse of encode_put_row, verifying every checksum — the
+    round-trip proof that the encoder follows its own spec reading."""
+    if struct.unpack_from("<I", buf, 0)[0] != HEADER:
+        raise ValueError("bad PlainBuffer header")
+    pos, section, pk, attrs, row_ck = 4, None, [], [], 0
+    while pos < len(buf):
+        tag = buf[pos]; pos += 1
+        if tag in (TAG_ROW_PK, TAG_ROW_DATA):
+            section = tag
+        elif tag == TAG_CELL:
+            assert buf[pos] == TAG_CELL_NAME; pos += 1
+            ln = struct.unpack_from("<I", buf, pos)[0]; pos += 4
+            name = buf[pos : pos + ln].decode(); pos += ln
+            assert buf[pos] == TAG_CELL_VALUE; pos += 1
+            lv = struct.unpack_from("<I", buf, pos)[0]; pos += 4
+            fv = buf[pos : pos + lv]; pos += lv
+            assert buf[pos] == TAG_CELL_CHECKSUM; pos += 1
+            ck = buf[pos]; pos += 1
+            if ck != crc8(fv, crc8(name.encode())):
+                raise ValueError(f"cell checksum mismatch at {name!r}")
+            row_ck = crc8(bytes([ck]), row_ck)
+            vt, payload = fv[0], fv[1:]
+            if vt == VT_INTEGER:
+                v = struct.unpack("<q", payload)[0]
+            elif vt == VT_DOUBLE:
+                v = struct.unpack("<d", payload)[0]
+            elif vt == VT_BOOLEAN:
+                v = bool(payload[0])
+            elif vt in (VT_STRING, VT_BLOB):
+                n = struct.unpack_from("<I", payload, 0)[0]
+                v = payload[4 : 4 + n]
+                v = v.decode() if vt == VT_STRING else bytes(v)
+            elif vt == VT_NULL:
+                v = None
+            else:
+                raise ValueError(f"unknown value type {vt:#x}")
+            (pk if section == TAG_ROW_PK else attrs).append((name, v))
+        elif tag == TAG_ROW_CHECKSUM:
+            if buf[pos] != crc8(b"\x00", row_ck):
+                raise ValueError("row checksum mismatch")
+            pos += 1
+        else:
+            raise ValueError(f"unexpected tag {tag:#x}")
+    return {"pk": pk, "attrs": attrs}
+
+
+# ------------------------------------------- protobuf envelope (3 msgs)
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _ld(field_num: int, payload: bytes) -> bytes:
+    """Length-delimited protobuf field (wire type 2)."""
+    return _varint((field_num << 3) | 2) + _varint(len(payload)) + payload
+
+
+def batch_write_row_body(table: str, row_changes: list[bytes]) -> bytes:
+    """public table_store.proto: BatchWriteRowRequest{ tables=1 } →
+    TableInBatchWriteRowRequest{ table_name=1, rows=2 } →
+    RowInBatchWriteRowRequest{ type=1 (PUT=1), row_change=2,
+    condition=3{ row_existence=1 (IGNORE=0) } }."""
+    condition = _varint((1 << 3) | 0) + _varint(0)
+    rows = b"".join(
+        _ld(
+            2,
+            _varint((1 << 3) | 0) + _varint(1)   # type = PUT
+            + _ld(2, rc)                          # row_change
+            + _ld(3, condition),                  # condition = IGNORE
+        )
+        for rc in row_changes
+    )
+    # field order inside the table message: name then each row
+    tbl = _ld(1, table.encode()) + rows
+    return _ld(1, tbl)
+
+
+# ------------------------------------------------------- signed request
+@dataclass
+class OtsRequest:
+    """One signed binary OTS exchange; executable verbatim."""
+
+    url: str
+    headers: dict = field(default_factory=dict)
+    body: bytes = b""
+
+    def execute(self, timeout_s: float = 60.0) -> bytes:
+        import urllib.request
+
+        req = urllib.request.Request(self.url, data=self.body, method="POST")
+        for k, v in self.headers.items():
+            req.add_header(k, v)
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return resp.read()
+
+
+def ots_signature(access_key_secret: str, api: str, headers: dict) -> str:
+    """base64(hmac-sha1(secret, "/{api}\\nPOST\\n\\n" + each x-ots-*
+    header (sorted, lowercased, signature itself excluded) as
+    "name:value\\n")) — the documented OTS authentication string."""
+    hdrs = {
+        k.lower(): str(v).strip()
+        for k, v in headers.items()
+        if k.lower().startswith("x-ots-") and k.lower() != "x-ots-signature"
+    }
+    to_sign = f"/{api}\nPOST\n\n" + "".join(
+        f"{k}:{hdrs[k]}\n" for k in sorted(hdrs)
+    )
+    return base64.b64encode(
+        hmac.new(access_key_secret.encode(), to_sign.encode(), hashlib.sha1).digest()
+    ).decode()
+
+
+def batch_write_request(
+    endpoint: str,
+    instance_name: str,
+    access_key_id: str,
+    access_key_secret: str,
+    body: bytes,
+    date: str,
+) -> OtsRequest:
+    """``date`` is the x-ots-date ISO-8601 UTC instant (passed in for
+    deterministic rendering)."""
+    headers = {
+        "x-ots-date": date,
+        "x-ots-apiversion": "2015-12-31",
+        "x-ots-accesskeyid": access_key_id,
+        "x-ots-instancename": instance_name,
+        "x-ots-contentmd5": base64.b64encode(hashlib.md5(body).digest()).decode(),
+    }
+    headers["x-ots-signature"] = ots_signature(
+        access_key_secret, "BatchWriteRow", headers
+    )
+    headers["Content-Type"] = "application/x.pb2"
+    return OtsRequest(
+        url=endpoint.rstrip("/") + "/BatchWriteRow", headers=headers, body=body
+    )
+
+
+def requests_for_batch(
+    df,
+    endpoint: str,
+    instance_name: str,
+    access_key_id: str,
+    access_key_secret: str,
+    table: str,
+    primary_keys: list[str],
+    date: str,
+    batch_size: int = 25,
+    op_col: str = "op",
+) -> list[OtsRequest]:
+    """Changelog batch → signed BatchWriteRow requests of ``batch_size``
+    puts each (the server caps a batch at 200 rows; the reference flushes
+    on its own batch_size). The reference serializer emits only
+    RowPutChange, so D/-U images are dropped here too."""
+    if not primary_keys:
+        raise ValueError("Tablestore sink needs primary_keys")
+    cols = [c for c in df.columns if c not in (op_col, "seq")]
+    missing = [k for k in primary_keys if k not in cols]
+    if missing:
+        raise ValueError(f"primary_keys {missing} not in columns {cols}")
+    batch = df
+    if op_col in df.columns:
+        batch = batch.where(~batch[op_col].isin("D", "-U"))
+    rows = [r.asDict() for r in batch.select(*cols).collect()]
+    changes = [
+        encode_put_row(
+            [(k, r[k]) for k in primary_keys],
+            [(c, r[c]) for c in cols if c not in primary_keys],
+        )
+        for r in rows
+    ]
+    return [
+        batch_write_request(
+            endpoint, instance_name, access_key_id, access_key_secret,
+            batch_write_row_body(table, changes[i : i + batch_size]), date,
+        )
+        for i in range(0, len(changes), batch_size)
+    ]
