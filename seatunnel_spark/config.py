@@ -1309,11 +1309,41 @@ def _run_cdc_streaming_job(spark: SparkSession, config: dict) -> dict[str, dict]
             key,
             max_fence=int(src.get("snapshot.fence", 0)),
         )
-    elif mode not in ("earliest", "timestamp"):
+    elif mode not in ("earliest", "timestamp", "specific_offset"):
         raise ConfigError(f"unknown startup.mode {mode!r}")
+    start_seq = stop_seq = None
+    if mode == "specific_offset":
+        # reference SourceOptions.java:55-66: startup.specific-offset.file/pos
+        from seatunnel_spark.offsets import BinlogOffset
+
+        f = src.get("startup.specific-offset.file")
+        p = src.get("startup.specific-offset.pos")
+        if f is None or p is None:
+            raise ConfigError(
+                "startup.mode = specific_offset needs "
+                "startup.specific-offset.file and .pos"
+            )
+        start_seq = job.resolve_specific_offset(BinlogOffset(str(f), int(p)))
+        if start_seq is None:
+            start_seq = 1 << 62  # nothing at/after: empty bounded replay
+    if src.get("stop.specific-offset.file") is not None:
+        # StopMode SPECIFIC via binlog coordinates (SourceOptions.java:80-91):
+        # stop BEFORE the first event at-or-after (file, pos) — the
+        # reference's binlog task self-terminates once it reaches the stop
+        # offset. On the seq scale that is `first_at_or_after - 1`.
+        from seatunnel_spark.offsets import BinlogOffset
+
+        f = src["stop.specific-offset.file"]
+        p = src.get("stop.specific-offset.pos")
+        if p is None:
+            raise ConfigError("stop.specific-offset.file needs .pos")
+        boundary = job.resolve_specific_offset(BinlogOffset(str(f), int(p)))
+        stop_seq = (boundary - 1) if boundary is not None else None
     job.run_incremental(
         available_now=True,
         timeout_s=float(config.get("env", {}).get("job.timeout.s", 600)),
+        start_seq=start_seq,
+        stop_seq=stop_seq,
         start_ts=src.get("start_ts"),
         stop_ts=src.get("stop_ts"),
     )

@@ -38,6 +38,13 @@ def debezium_envelope_schema(row_schema: T.StructType) -> T.StructType:
                         # source log position (MySQL binlog pos / PG lsn) —
                         # the per-key ordering key; ts_ms is the fallback
                         T.StructField("seq", T.LongType(), True),
+                        # native MySQL binlog coordinates (debezium source
+                        # block fields `file`/`pos`) — consumed by the
+                        # SPECIFIC_OFFSET startup resolver
+                        # (offsets.resolve_binlog_start_seq); absent
+                        # envelopes parse them as null
+                        T.StructField("file", T.StringType(), True),
+                        T.StructField("pos", T.LongType(), True),
                     ]
                 ),
                 True,
@@ -107,6 +114,23 @@ def parse_debezium_json(
         image.alias("_row"),
     )
     return out.select("op", "_table", "ts_ms", "_seq", "_ddl", "_row.*")
+
+
+def parse_debezium_with_position(
+    df: DataFrame, row_schema: T.StructType, value_col: str = "value"
+) -> DataFrame:
+    """Like ``parse_debezium_json`` but keeps the native binlog coordinates
+    as ``_file``/``_pos`` columns (debezium's ``source.file``/``source.pos``
+    — the MySQL BinlogOffset keys, BinlogOffset.java:42-43). Used by the
+    SPECIFIC_OFFSET startup/stop resolve: one bounded parse of the topic,
+    two narrow columns, one min() aggregate — no extra state on the
+    streaming path itself, which stays on the seq scale."""
+    env = F.from_json(F.col(value_col), debezium_envelope_schema(row_schema))
+    return df.select(
+        F.coalesce(env["source"]["seq"], env["ts_ms"]).alias("_seq"),
+        env["source"]["file"].alias("_file"),
+        env["source"]["pos"].alias("_pos"),
+    )
 
 
 def mongo_envelope_schema(row_schema: T.StructType) -> T.StructType:

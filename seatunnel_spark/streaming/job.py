@@ -237,6 +237,29 @@ class CdcIngestJob:
             self.spark, self.events_dir, self.wire_format, self.wire_row_schema
         )
 
+    def resolve_specific_offset(self, offset) -> int | None:
+        """StartupMode SPECIFIC_OFFSET with native binlog coordinates
+        (reference SourceOptions.java:55-66 ``startup.specific-offset.file``
+        / ``.pos``): resolve a dialect ``BinlogOffset`` to this engine's seq
+        scale — the smallest seq at-or-after (file, pos) on the debezium
+        wire, whose envelopes carry ``source.file``/``source.pos``. One
+        bounded two-column parse + min() aggregate, mirroring the timestamp
+        resolve; the streaming path itself stays on seq. Other wire formats
+        don't carry binlog coordinates and refuse loudly (the reference's
+        SPECIFIC_OFFSET is likewise a MySQL-dialect mode)."""
+        if self.wire_format != "debezium-json":
+            raise ValueError(
+                "specific-offset (file/pos) startup needs the debezium-json "
+                f"wire format, not {self.wire_format!r} — use start_seq / "
+                "start_ts instead"
+            )
+        from seatunnel_spark.offsets import resolve_binlog_start_seq
+        from seatunnel_spark.sources.formats import parse_debezium_with_position
+
+        raw = self.spark.read.text(self.events_dir)
+        parsed = parse_debezium_with_position(raw, self.wire_row_schema)
+        return resolve_binlog_start_seq(parsed, offset)
+
     def resolve_stop_timestamp(self, stop_ts) -> int | None:
         """StopMode TIMESTAMP → the largest seq whose event time is
         <= stop_ts (the reference's binlog task self-terminates once it
