@@ -2061,3 +2061,45 @@ def corpus_clean_strict(spark, sf_dir):
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_words", "dup_word_frac")
     )
+
+
+@_reg(
+    "text_line_dedup",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             'nav-' || (doc_id % 7) || ' menu home' || chr(10) || text ||
+             chr(10) || 'footer terms privacy contact' AS text
+      FROM documents),
+    l AS (
+      SELECT doc_id, {_dh48("trim(x)", "line")} AS lh
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS x FROM c)
+      WHERE trim(x) <> ''),
+    dfq AS (SELECT lh, count(*) AS df_docs
+            FROM (SELECT DISTINCT doc_id, lh FROM l) GROUP BY lh),
+    b AS (SELECT lh AS blh FROM dfq WHERE df_docs >= 3)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(blh) AS BIGINT) AS n_boiler_lines,
+           CAST((count(blh) * 1000000) // count(*) AS BIGINT) AS boiler_line_ppm
+    FROM l LEFT JOIN b ON l.lh = b.blh
+    GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """Cross-document line-level boilerplate dedup (the CCNet/RefinedWeb
+    line-dedup step). The documents table is single-line, so the head
+    synthesizes the web shape in-query — a nav header shared by each
+    doc_id%7 cohort and a corpus-wide footer — then runs the digest-keyed
+    line-frequency pass (text.line_dedup_stats): lines shuffle as 48-bit
+    digests only, never as text."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("nav-"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(" menu home\n"), F.col("text"),
+            F.lit("\nfooter terms privacy contact"),
+        ).alias("text"),
+    )
+    return text.line_dedup_stats(corpus, min_docs=3)

@@ -196,3 +196,55 @@ def line_stats(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> Data
         F.round(ellipsis / n_lines, 6).alias("ellipsis_line_frac"),
         F.round((n_hash + n_ell) / n_words, 6).alias("symbol_word_ratio"),
     )
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-line (boilerplate) detection — the line-level
+    dedup step of CCNet / RefinedWeb-style web curation: a normalized
+    (trimmed, non-empty) line appearing in >= ``min_docs`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, footers). Returns
+    per-document removal stats ``(doc_id, n_lines, n_boiler_lines,
+    boiler_line_ppm)`` — the numbers the cleaning pass filters/rewrites by.
+
+    100 TB shape: the explode emits (doc_id, 48-bit line digest) — line
+    TEXT never shuffles. Document frequency is one digest-keyed aggregate
+    (map-side combinable); membership is a second digest-keyed join (the
+    boilerplate set is the head of the line-frequency distribution — tiny
+    next to the corpus — and AQE broadcasts it when it fits); the per-doc
+    rollup re-shuffles only (doc_id, flag). ppm uses integral `div`: exact,
+    and n_boiler * 10^6 stays far inside int64 for any real document."""
+    from seatunnel_spark.operators.dedup_docs import _h48
+
+    lines = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(col), "\n")).alias("ln"))
+        .select(id_col, F.trim(F.col("ln")).alias("ln"))
+        .where(F.col("ln") != "")
+        .select(id_col, _h48(F.col("ln"), "line").alias("lh"))
+    )
+    doc_freq = lines.distinct().groupBy("lh").agg(
+        F.count("*").alias("df_docs")
+    )
+    boiler = doc_freq.where(F.col("df_docs") >= int(min_docs)).select(
+        "lh", F.lit(1).alias("_b")
+    )
+    return (
+        lines.join(boiler, "lh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.count("_b").cast("bigint").alias("n_boiler_lines"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_boiler_lines",
+            F.expr(
+                "CAST((n_boiler_lines * 1000000) div n_lines AS BIGINT)"
+            ).alias("boiler_line_ppm"),
+        )
+    )

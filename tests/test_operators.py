@@ -509,3 +509,27 @@ def test_line_stats(spark):
     assert got[3]["symbol_word_ratio"] > 0.3  # 2 hashes + 1 "..." over 8 words
     assert got[4]["bullet_line_frac"] == 0.0
     assert got[4]["symbol_word_ratio"] == 0.0
+
+
+def test_line_dedup_stats(spark):
+    """CCNet/RefinedWeb-style cross-doc line dedup: a line in >= min_docs
+    DISTINCT docs is boilerplate; within-doc repeats count once for document
+    frequency but every occurrence counts in the per-doc stats."""
+    from seatunnel_spark.operators.text import line_dedup_stats
+
+    rows = [
+        (1, "COOKIE NOTICE\nalpha body one\nfooter"),
+        (2, "COOKIE NOTICE\nbeta body two\nfooter"),
+        (3, "COOKIE NOTICE\nCOOKIE NOTICE\ngamma body three"),
+        (4, "delta body four\n\n   \nfooter"),  # blank lines dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_boiler_lines"], r["boiler_line_ppm"])
+        for r in line_dedup_stats(df, min_docs=3).collect()
+    }
+    # COOKIE NOTICE: docs {1,2,3} -> boiler; footer: docs {1,2,4} -> boiler
+    assert got[1] == (3, 2, 666666)
+    assert got[2] == (3, 2, 666666)
+    assert got[3] == (3, 2, 666666)  # both COOKIE occurrences flagged
+    assert got[4] == (2, 1, 500000)
