@@ -2103,3 +2103,40 @@ def text_line_dedup(spark, sf_dir):
         ).alias("text"),
     )
     return text.line_dedup_stats(corpus, min_docs=3)
+
+
+@_reg(
+    "ann_quantized_topk",
+    """
+    WITH q8 AS (
+      SELECT vec_id,
+             CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(round(x * 127 / mx, 0) AS BIGINT))
+             END AS c
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+            FROM embeddings))
+    SELECT query_id, vec_id, round(qcos_raw, 5) AS qcos_sim, rank
+    FROM (SELECT q.vec_id AS query_id, c.vec_id,
+                 round(list_dot_product(q.c::DOUBLE[], c.c::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.c::DOUBLE[], q.c::DOUBLE[])) *
+                        sqrt(list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]))), 8) AS qcos_raw,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY round(list_dot_product(q.c::DOUBLE[], c.c::DOUBLE[]) /
+                                                   (sqrt(list_dot_product(q.c::DOUBLE[], q.c::DOUBLE[])) *
+                                                    sqrt(list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]))), 8) DESC,
+                                             c.vec_id ASC) AS rank
+          FROM q8 q JOIN q8 c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 3)
+    WHERE rank <= 5
+    """,
+)
+def ann_quantized_topk(spark, sf_dir):
+    """Cosine top-k over int8-quantized embeddings (similarity.quantize_int8
+    + quantized_topk): the per-vector scale cancels out of cosine, so
+    scoring is exact int64 dot products — the 4x-memory serving path for
+    corpus-scale vector search, bit-identical across engines."""
+    from seatunnel_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.where(F.col("vec_id") < 3), k=5)

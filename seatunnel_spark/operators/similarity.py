@@ -317,3 +317,91 @@ def lsh_over_cap_buckets(
     if max_bucket is None:
         return counts.where(F.lit(False))
     return counts.where(F.col("bucket_size") > max_bucket)
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the standard memory-cut for
+    corpus-scale vector search (4x smaller than float32, integer SIMD dot
+    products). codes[d] = round(v[d] * 127 / max|v|); an all-zero vector
+    quantizes to zeros. Returns (id, codes: array<bigint>, scale: double)
+    where ``scale = max|v| / 127`` de-quantizes (v ≈ codes * scale).
+
+    A narrow map over the scan — no shuffle, no Python; at 100 TB the
+    quantized corpus is what sits in executor memory for the serving path.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    codes = F.when(
+        mx == 0, F.transform(v, lambda x: F.lit(0).cast("bigint"))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x * 127 / mx, 0).cast("bigint"))
+    )
+    return df.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        (mx / 127).alias("scale"),
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors. The per-vector scale
+    cancels out of cosine, so scoring is pure integer dot products
+    (exact in int64) divided by integer-normed sqrt — bit-identical on
+    any IEEE engine, no float accumulation-order hazard. Same plan shape
+    as brute_force_topk: quantized queries broadcast, one window per
+    query id. Returns (query_id, vec_id, qcos_sim, rank)."""
+    from pyspark.sql import Window
+
+    cq = quantize_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("codes").alias("qc")
+    )
+    cc = quantize_int8(corpus, id_col, vec_col).select(
+        F.col(id_col), F.col("codes").alias("cc")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform(F.col("qc"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform(F.col("cc"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    # zero-norm vectors have no cosine: null them out (ANSI-safe), then
+    # drop — a zero embedding can never be a neighbor anyway
+    raw = F.when(
+        (nq > 0) & (nc > 0), F.round(dot / (F.sqrt(nq) * F.sqrt(nc)), 8)
+    )
+    scored = (
+        cc.crossJoin(F.broadcast(cq))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, raw.alias("qcos_raw"))
+        .where(F.col("qcos_raw").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos_raw").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round("qcos_raw", 5).alias("qcos_sim"),
+            "rank",
+        )
+    )

@@ -533,3 +533,31 @@ def test_line_dedup_stats(spark):
     assert got[2] == (3, 2, 666666)
     assert got[3] == (3, 2, 666666)  # both COOKIE occurrences flagged
     assert got[4] == (2, 1, 500000)
+
+
+def test_quantize_int8_properties(spark):
+    from seatunnel_spark.operators.similarity import quantize_int8, quantized_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 2.0, 0.0, 0.0]),
+        (2, [1.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),   # all-zero -> zero codes, no div-by-0
+        (4, [0.5, -0.25, 0.125, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = {r["vec_id"]: (r["codes"], r["scale"]) for r in quantize_int8(df).collect()}
+    assert q[0][0] == [127, 0, 0, 0]
+    assert q[3][0] == [0, 0, 0, 0] and q[3][1] == 0.0
+    assert all(-127 <= c <= 127 for codes, _ in q.values() for c in codes)
+    # de-quantization error is bounded by half a quantization step
+    scale = q[4][1]
+    for c, v in zip(q[4][0], rows[4][1]):
+        assert abs(c * scale - v) <= scale / 2 + 1e-12
+
+    # quantized cosine agrees with exact cosine on these vectors: the
+    # orthogonal/parallel structure survives quantization unchanged
+    top = quantized_topk(df, df.where(F.col("vec_id") == 0), k=2).collect()
+    got = [(r["vec_id"], r["qcos_sim"], r["rank"]) for r in top]
+    assert got[0][0] == 2 and abs(got[0][1] - 0.70711) < 1e-5  # 1/sqrt(2)
+    assert got[0][2] == 1
