@@ -2140,3 +2140,35 @@ def ann_quantized_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return quantized_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+
+
+@_reg(
+    "text_token_rarity",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_dh48("t", "tok")} AS th
+      FROM (SELECT doc_id,
+                   unnest(string_split(regexp_replace(lower(trim(text)),
+                                                      '\\s+', ' ', 'g'), ' ')) AS t
+            FROM documents)
+      WHERE t <> ''),
+    tf AS (SELECT th, count(*) AS tf FROM tk GROUP BY th),
+    tot AS (SELECT sum(tf) AS tot FROM tf),
+    fp AS (SELECT th, tf,
+                  CAST(CAST(tf AS HUGEINT) * 1000000 // tot AS BIGINT) AS fppm
+           FROM tf, tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(sum(fppm) AS HUGEINT) // count(*) AS BIGINT) AS mean_tf_ppm,
+           CAST(min(fppm) AS BIGINT) AS min_tf_ppm,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+    FROM tk JOIN fp USING (th)
+    GROUP BY doc_id
+    """,
+)
+def text_token_rarity(spark, sf_dir):
+    """Unigram-LM rarity proxy (text.token_rarity): per-token corpus ppm,
+    integral per-doc mean — exact decimal/HUGEINT math both sides; tokens
+    shuffle as 48-bit digests only."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_rarity(docs)

@@ -248,3 +248,69 @@ def line_dedup_stats(
             ).alias("boiler_line_ppm"),
         )
     )
+
+
+def token_rarity(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Unigram-LM quality proxy in exact integer space — the KenLM-style
+    "does this document's token distribution look like the corpus" filter
+    without the float log: each token's corpus frequency becomes ppm-of-
+    corpus (``(tf * 10^6) div total_tokens``), and a document scores the
+    integral mean of its tokens' ppm. Common-token documents (boilerplate,
+    templates) score high; rare-token documents (garbled text, code dumps
+    in a prose corpus) score low — both tails are what real pipelines cut.
+    Returns (doc_id, n_tokens, mean_tf_ppm, min_tf_ppm, n_hapax) where
+    ``n_hapax`` counts corpus-hapax tokens (tf = 1) in the doc.
+
+    100 TB shape: tokens shuffle as 48-bit digests; the frequency table is
+    one map-side-combinable agg; the corpus total is a broadcast scalar.
+    ``tf * 10^6`` exceeds int64 once a corpus passes ~9 x 10^12 tokens, so
+    the ppm math runs in decimal(38,0) with integral `div` — the same
+    overflow discipline as curation.thresholds_from_counts."""
+    from seatunnel_spark.operators.dedup_docs import _h48
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "),
+                    " ",
+                )
+            ).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .select(id_col, _h48(F.col("t"), "tok").alias("th"))
+    )
+    tf = toks.groupBy("th").agg(F.count("*").alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("_tot"))
+    dec = "decimal(38,0)"
+    fppm = tf.crossJoin(F.broadcast(tot)).select(
+        "th",
+        "tf",
+        F.expr(f"CAST((CAST(tf AS {dec}) * 1000000) div _tot AS BIGINT)").alias(
+            "fppm"
+        ),
+    )
+    return (
+        toks.join(fppm, "th")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("fppm").alias("_sum_fppm"),
+            F.min("fppm").cast("bigint").alias("min_tf_ppm"),
+            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(
+                f"CAST(CAST(_sum_fppm AS {dec}) div n_tokens AS BIGINT)"
+            ).alias("mean_tf_ppm"),
+            "min_tf_ppm",
+            "n_hapax",
+        )
+    )

@@ -561,3 +561,26 @@ def test_quantize_int8_properties(spark):
     got = [(r["vec_id"], r["qcos_sim"], r["rank"]) for r in top]
     assert got[0][0] == 2 and abs(got[0][1] - 0.70711) < 1e-5  # 1/sqrt(2)
     assert got[0][2] == 1
+
+
+def test_token_rarity(spark):
+    """Integral unigram rarity: corpus of 10 tokens -> 'the' (5x) = 500000
+    ppm, hapaxes = 100000 ppm each; doc means are exact integral division."""
+    from seatunnel_spark.operators.text import token_rarity
+
+    rows = [
+        (1, "the the the apple"),   # the x3, apple x1
+        (2, "the the banana"),      # the x2, banana
+        (3, "cherry date egg"),     # three hapaxes
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["mean_tf_ppm"], r["min_tf_ppm"], r["n_hapax"]
+        )
+        for r in token_rarity(df).collect()
+    }
+    # total tokens = 10; tf: the=5, others=1 -> fppm: 500000 / 100000
+    assert got[1] == (4, (3 * 500000 + 100000) // 4, 100000, 1)
+    assert got[2] == (3, (2 * 500000 + 100000) // 3, 100000, 1)
+    assert got[3] == (3, 100000, 100000, 3)
