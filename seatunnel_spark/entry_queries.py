@@ -2172,3 +2172,57 @@ def text_token_rarity(spark, sf_dir):
     shuffle as 48-bit digests only."""
     docs = _t(spark, sf_dir, "documents")
     return text.token_rarity(docs)
+
+
+@_reg(
+    "corpus_decontaminate_fuzzy",
+    f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0),
+    bsig AS (
+      SELECT bench_id,
+             [list_min([('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 12))::BIGINT
+                        FOR s IN {_DSH}])
+              FOR i IN range(0, 16)] AS mh
+      FROM bench),
+    bband AS (
+      SELECT bench_id, b AS band,
+             md5(array_to_string([mh[b * 4 + j + 1]::VARCHAR FOR j IN range(0, 4)], ',')) AS bh
+      FROM bsig, range(0, 4) t(b)),
+    csig AS (
+      SELECT doc_id,
+             [list_min([('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 12))::BIGINT
+                        FOR s IN {_DSH}])
+              FOR i IN range(0, 16)] AS mh
+      FROM documents),
+    cband AS (
+      SELECT doc_id, b AS band,
+             md5(array_to_string([mh[b * 4 + j + 1]::VARCHAR FOR j IN range(0, 4)], ',')) AS bh
+      FROM csig, range(0, 4) t(b)),
+    cand AS (
+      SELECT DISTINCT c.doc_id, b.bench_id
+      FROM cband c JOIN bband b ON c.band = b.band AND c.bh = b.bh),
+    csh AS (SELECT doc_id, list_distinct({_DSH}) AS cs FROM documents),
+    bsh AS (SELECT doc_id AS bench_id, list_distinct({_DSH}) AS bs FROM documents
+            WHERE doc_id % 97 = 0)
+    SELECT doc_id, bench_id,
+           round(len(list_intersect(cs, bs))::DOUBLE /
+                 (len(cs) + len(bs) - len(list_intersect(cs, bs))), 6) AS jaccard
+    FROM cand JOIN csh USING (doc_id) JOIN bsh USING (bench_id)
+    WHERE len(list_intersect(cs, bs))::DOUBLE /
+          (len(cs) + len(bs) - len(list_intersect(cs, bs))) >= 0.5
+    """,
+)
+def corpus_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy (MinHash-LSH + Jaccard-verified) benchmark decontamination
+    (curation.fuzzy_decontaminate): the benchmark set is the doc_id %% 97
+    cohort, so hits are those docs plus their paraphrase-grade near-dups —
+    the leakage the exact 13-gram rule misses. Bench bands and shingles
+    broadcast; the corpus never self-joins."""
+    from seatunnel_spark.operators.curation import fuzzy_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return fuzzy_decontaminate(docs, bench, threshold=0.5)

@@ -250,3 +250,58 @@ def domain_mix_sample(
         .where(coin < F.col("keep_ppm"))
         .select(id_col, group_col, "keep_ppm")
     )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: MinHash-LSH candidate generation
+    between the corpus and a benchmark set, verified by exact shingle
+    Jaccard — catches paraphrased / lightly-edited benchmark leakage the
+    exact-13-gram rule (``decontaminate_ids``) misses. Returns
+    ``(doc_id, bench_id, jaccard)`` for every corpus doc whose Jaccard with
+    a benchmark doc reaches ``threshold``.
+
+    100 TB shape: the benchmark side is tiny — its band table AND its
+    shingle sets broadcast; the corpus NEVER self-joins, so no bucket cap
+    is needed (per-bucket cost is corpus-matches x bench-bucket-size,
+    linear in corpus size). The corpus contributes one signature pass (the
+    same md5 family as the dedup spine — shared if both run) and its only
+    shuffle carries (doc_id, band, bh) digests."""
+    from seatunnel_spark.operators.dedup_docs import (
+        _shingles,
+        band_hashes,
+        minhash_signatures,
+    )
+
+    bband = band_hashes(
+        minhash_signatures(bench, bench_id_col, col, k), bench_id_col, k, bands
+    )
+    cband = band_hashes(
+        minhash_signatures(corpus, id_col, col, k), id_col, k, bands
+    )
+    cand = (
+        cband.join(F.broadcast(bband), ["band", "bh"])
+        .select(id_col, bench_id_col)
+        .distinct()
+    )
+    csh = corpus.select(id_col, F.array_distinct(_shingles(col)).alias("cs"))
+    bsh = bench.select(
+        bench_id_col, F.array_distinct(_shingles(col)).alias("bs")
+    )
+    inter = F.size(F.array_intersect("cs", "bs"))
+    j = inter / (F.size("cs") + F.size("bs") - inter)
+    return (
+        cand.join(csh, id_col)
+        .join(F.broadcast(bsh), bench_id_col)
+        .select(id_col, bench_id_col, j.alias("_j"))
+        .where(F.col("_j") >= threshold)
+        .select(id_col, bench_id_col, F.round("_j", 6).alias("jaccard"))
+    )

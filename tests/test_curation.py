@@ -149,3 +149,33 @@ def test_domain_mix_single_source_keeps_target_frac(spark):
     assert abs(th["keep_ppm"] - 250_000) < 2_000
     n = curation.domain_mix_sample(docs, 250_000).count()
     assert 0.2 * 2000 < n < 0.3 * 2000
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    """A lightly-edited copy of a benchmark doc (one word changed) is below
+    any exact-n-gram-coverage bar for small n-gram overlap thresholds but
+    shares most shingles -> the fuzzy pass flags it; unrelated text stays."""
+    from seatunnel_spark.operators.curation import fuzzy_decontaminate
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog and then runs away "
+        "very fast into the deep dark forest tonight"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                                # verbatim leak
+            (2, bench_text.replace("fast", "slowly")),      # paraphrase leak
+            (3, "completely unrelated prose about spark shuffle tuning"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "bench_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["jaccard"]
+        for r in fuzzy_decontaminate(corpus, bench, threshold=0.5).collect()
+    }
+    assert got[(1, 100)] == 1.0
+    assert 0.5 <= got[(2, 100)] < 1.0
+    assert (3, 100) not in got
