@@ -160,6 +160,12 @@ SCALEUP_HEADS = [
     "dedup_clusters",
     "embedding_dedup_clusters",
     "corpus_pack_stats",
+    # round-5 second wave: line-level boilerplate dedup, unigram rarity,
+    # fuzzy decontamination, int8-quantized ANN
+    "text_line_dedup",
+    "text_token_rarity",
+    "corpus_decontaminate_fuzzy",
+    "ann_quantized_topk",
 ]
 SCALEUP_FACTOR = int(os.environ.get("BENCH_SCALEUP_FACTOR", "10"))
 

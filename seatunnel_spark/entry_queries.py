@@ -2226,3 +2226,34 @@ def corpus_decontaminate_fuzzy(spark, sf_dir):
         F.col("doc_id").alias("bench_id"), "text"
     )
     return fuzzy_decontaminate(docs, bench, threshold=0.5)
+
+
+@_reg(
+    "text_repeated_spans",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents),
+    sp AS (
+      SELECT doc_id, {_dh48("substr(t, i * 10 + 1, 40)", "span")} AS sh
+      FROM (SELECT doc_id, t,
+                   unnest(range(0, greatest(length(t) - 40, 0) // 10 + 1)) AS i
+            FROM nd)),
+    fq AS (SELECT sh, count(*) AS df_docs
+           FROM (SELECT DISTINCT doc_id, sh FROM sp) GROUP BY sh),
+    rp AS (SELECT sh AS rsh FROM fq WHERE df_docs >= 2)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(rsh) AS BIGINT) AS n_repeated_spans,
+           CAST((count(rsh) * 1000000) // count(*) AS BIGINT) AS repeated_span_ppm
+    FROM sp LEFT JOIN rp ON sp.sh = rp.rsh
+    GROUP BY doc_id
+    """,
+)
+def text_repeated_spans(spark, sf_dir):
+    """Cross-document repeated-substring stats (text.repeated_spans): the
+    windowed distributed shape of Lee-et-al exact-substring dedup — 40-char
+    spans at stride 10, hashed to 48-bit digests, counted by distinct-doc
+    frequency. Span text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repeated_spans(docs, window=40, stride=10, min_docs=2)

@@ -314,3 +314,65 @@ def token_rarity(
             "n_hapax",
         )
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    window: int = 40,
+    stride: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the distributed shape
+    of exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): instead of a global suffix array
+    (inherently sequential), slide fixed ``window``-char spans at
+    ``stride`` over each normalized document, hash each span, and count
+    how many DISTINCT documents share it. A span in >= ``min_docs`` docs
+    marks verbatim cross-document text (licenses, templates, quoted
+    chunks). Returns (doc_id, n_spans, n_repeated_spans,
+    repeated_span_ppm) — the per-doc removal signal; stride trades recall
+    for cost (stride <= window/2 guarantees every repeated region >=
+    2*window chars still overlaps some span on both sides up to
+    alignment, the standard windowed approximation).
+
+    100 TB shape: spans shuffle as 48-bit digests (the span text never
+    leaves the scan); frequency is one map-side-combinable agg; docs
+    shorter than ``window`` contribute their whole text as one span."""
+    from seatunnel_spark.operators.dedup_docs import _h48
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    n = F.greatest(
+        (F.length(norm) - F.lit(window)).cast("int"), F.lit(0)
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), F.floor(n / stride).cast("int")),
+        lambda i: i * stride + 1,
+    )
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(starts, lambda s: F.substring(norm, s, window))
+        ).alias("sp"),
+    ).select(id_col, _h48(F.col("sp"), "span").alias("sh"))
+    freq = spans.distinct().groupBy("sh").agg(F.count("*").alias("df_docs"))
+    rep = freq.where(F.col("df_docs") >= int(min_docs)).select(
+        "sh", F.lit(1).alias("_r")
+    )
+    return (
+        spans.join(rep, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.count("_r").cast("bigint").alias("n_repeated_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_repeated_spans",
+            F.expr(
+                "CAST((n_repeated_spans * 1000000) div n_spans AS BIGINT)"
+            ).alias("repeated_span_ppm"),
+        )
+    )

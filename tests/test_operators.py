@@ -584,3 +584,27 @@ def test_token_rarity(spark):
     assert got[1] == (4, (3 * 500000 + 100000) // 4, 100000, 1)
     assert got[2] == (3, (2 * 500000 + 100000) // 3, 100000, 1)
     assert got[3] == (3, 100000, 100000, 3)
+
+
+def test_repeated_spans(spark):
+    """Two docs sharing a verbatim 60-char license header: the header's
+    spans are corpus-repeated; the distinct bodies are not. A short doc
+    (< window) contributes its whole text as one span."""
+    from seatunnel_spark.operators.text import repeated_spans
+
+    header = "x" * 60
+    rows = [
+        (1, header + " unique body alpha " + "a" * 40),
+        (2, header + " unique body beta  " + "b" * 40),
+        (3, "tiny"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_repeated_spans"])
+        for r in repeated_spans(df, window=40, stride=10, min_docs=2).collect()
+    }
+    # spans fully inside the shared 60-char header (starts 1 and 11) repeat
+    assert got[1][1] >= 2 and got[2][1] >= 2
+    assert got[1][1] < got[1][0]        # the distinct tails don't repeat
+    assert got[3] == (1, 1) and got[4] == (1, 1)  # whole-text span shared
