@@ -166,6 +166,12 @@ def _source_df(spark: SparkSession, block: dict) -> DataFrame:
         from seatunnel_spark.sources.openmldb import read_openmldb_source
 
         return read_openmldb_source(spark, block)
+    if plugin == "Hudi":
+        # COW snapshot read: .hoodie timeline -> latest committed file
+        # slice per file group -> native parquet scan (sources/hudi.py)
+        from seatunnel_spark.sources.hudi import read_hudi_source
+
+        return read_hudi_source(spark, block)
     if plugin == "Jdbc":
         from seatunnel_spark.sources.jdbc import jdbc_partitioned_read
 
@@ -809,6 +815,53 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
                 ],
             }
         return {"written": True, "responses": [r.execute() for r in reqs]}
+    if plugin == "DataHub":
+        # Aliyun DataHub sink (connector-datahub surface: endpoint /
+        # accessId / accessKey / project / topic / timeout / retryTimes)
+        # over the documented PutRecords Web API (sinks/datahub.py).
+        from email.utils import formatdate
+
+        from seatunnel_spark.sinks.datahub import (
+            requests_for_batch as dh_reqs,
+        )
+
+        for k in ("endpoint", "accessId", "accessKey", "project", "topic"):
+            if not block.get(k):
+                raise ConfigError(f"DataHub sink needs {k}")
+        reqs = dh_reqs(
+            df,
+            block["endpoint"],
+            block["project"],
+            block["topic"],
+            block["accessId"],
+            block["accessKey"],
+            date=block.get("date") or formatdate(usegmt=True),
+            shard_id=block.get("shard_id"),
+            chunk_rows=int(block.get("chunk_rows", 1000)),
+        )
+        if block.get("dry_run"):
+            return {
+                "dry_run": True,
+                "requests": [
+                    {"url": r.url, "method": r.method,
+                     "headers": r.headers, "body": r.body}
+                    for r in reqs
+                ],
+            }
+        retries = int(block.get("retryTimes", 0))
+        timeout_s = float(block.get("timeout", 60))
+        responses = []
+        for r in reqs:
+            # DataHubWriter retry contract: re-submit a failed exchange
+            # up to retryTimes before giving up
+            for attempt in range(retries + 1):
+                try:
+                    responses.append(r.execute(timeout_s=timeout_s))
+                    break
+                except Exception:
+                    if attempt == retries:
+                        raise
+        return {"written": True, "responses": responses}
     if plugin == "IoTDB":
         # IoTDB sink (connector-iotdb surface: node_urls / key_device /
         # key_timestamp / key_measurement_fields / storage_group /
