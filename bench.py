@@ -166,6 +166,10 @@ SCALEUP_HEADS = [
     "text_token_rarity",
     "corpus_decontaminate_fuzzy",
     "ann_quantized_topk",
+    # round-5 third wave: Lloyd's k-means trainer + SemDeDup prune (the
+    # within-cluster pairwise step is the honest quadratic to watch)
+    "embedding_kmeans",
+    "semdedup_prune",
 ]
 SCALEUP_FACTOR = int(os.environ.get("BENCH_SCALEUP_FACTOR", "10"))
 

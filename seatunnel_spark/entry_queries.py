@@ -2257,3 +2257,116 @@ def text_repeated_spans(spark, sf_dir):
     frequency. Span text never shuffles."""
     docs = _t(spark, sf_dir, "documents")
     return text.repeated_spans(docs, window=40, stride=10, min_docs=2)
+
+
+def _kmeans_sql_ctes(k: int, n_iters: int, dim: int = 64) -> str:
+    """Shared CTE chain replaying clustering.kmeans_quantized bit-exactly
+    in DuckDB: q8 int8 quantization, c0 md5-ordered init, a{i} assignment
+    passes, c{i} floor(sum/count) integer-mean updates (empty clusters
+    keep their previous centroid via the LEFT JOIN coalesce)."""
+
+    def sim(v, t):
+        return (
+            f"CASE WHEN list_dot_product({v}.c::DOUBLE[], {v}.c::DOUBLE[]) > 0 "
+            f"AND list_dot_product({t}.codes::DOUBLE[], {t}.codes::DOUBLE[]) > 0 "
+            f"THEN round(list_dot_product({v}.c::DOUBLE[], {t}.codes::DOUBLE[]) / "
+            f"(sqrt(list_dot_product({v}.c::DOUBLE[], {v}.c::DOUBLE[])) * "
+            f"sqrt(list_dot_product({t}.codes::DOUBLE[], {t}.codes::DOUBLE[]))), 8) "
+            f"ELSE -2 END"
+        )
+
+    parts = [
+        f"""q8 AS (
+      SELECT vec_id,
+             CASE WHEN mx = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(round(x * 127 / mx, 0) AS BIGINT))
+             END AS c
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+            FROM embeddings)),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cid,
+             c AS codes
+      FROM q8
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {k})"""
+    ]
+    for it in range(1, n_iters + 1):
+        parts.append(
+            f"""a{it} AS (
+      SELECT vec_id, c, cid, sim FROM (
+        SELECT v.vec_id, v.c, t.cid, {sim('v', 't')} AS sim,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {sim('v', 't')} DESC, t.cid ASC) AS rn
+        FROM q8 v CROSS JOIN c{it - 1} t)
+      WHERE rn = 1)"""
+        )
+        if it < n_iters:
+            parts.append(
+                f"""m{it} AS (
+      SELECT cid, i, CAST(floor(sum(c[i])::DOUBLE / count(*)) AS BIGINT) AS mv
+      FROM a{it}, range(1, {dim + 1}) t(i)
+      GROUP BY cid, i),
+    c{it} AS (
+      SELECT p.cid, coalesce(g.codes, p.codes) AS codes
+      FROM c{it - 1} p LEFT JOIN (SELECT cid, list(mv ORDER BY i) AS codes
+                                  FROM m{it} GROUP BY cid) g USING (cid))"""
+            )
+    return ",\n    ".join(parts)
+
+
+@_reg(
+    "embedding_kmeans",
+    f"""
+    WITH {_kmeans_sql_ctes(k=8, n_iters=2)}
+    SELECT vec_id, cid AS cluster, round(sim, 5) AS centroid_sim
+    FROM a2
+    """,
+)
+def embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means trainer (clustering.kmeans_quantized):
+    k=8, two assignment passes with one integer-mean centroid update in
+    between, all arithmetic in int8-quantized integer space so the
+    iterative algorithm replays bit-exactly in the oracle. Assignment is
+    a zero-shuffle map with centroid literals; each update is one
+    map-side-combinable agg of k x dim integer sums."""
+    from seatunnel_spark.operators.clustering import kmeans_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_quantized(emb, k=8, n_iters=2).select(
+        "vec_id", "cluster", F.round("centroid_sim", 5).alias("centroid_sim")
+    )
+
+
+@_reg(
+    "semdedup_prune",
+    f"""
+    WITH {_kmeans_sql_ctes(k=8, n_iters=1)},
+    psim AS (
+      SELECT b.vec_id AS vid, a.vec_id AS keep_id,
+             CASE WHEN list_dot_product(a.c::DOUBLE[], a.c::DOUBLE[]) > 0
+                   AND list_dot_product(b.c::DOUBLE[], b.c::DOUBLE[]) > 0
+                  THEN round(list_dot_product(a.c::DOUBLE[], b.c::DOUBLE[]) /
+                             (sqrt(list_dot_product(a.c::DOUBLE[], a.c::DOUBLE[])) *
+                              sqrt(list_dot_product(b.c::DOUBLE[], b.c::DOUBLE[]))), 8)
+             END AS sim
+      FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+    dup AS (
+      SELECT vid, keep_id AS dup_of, round(sim, 5) AS dup_sim
+      FROM psim WHERE sim >= 0.3
+      QUALIFY row_number() OVER (PARTITION BY vid ORDER BY keep_id) = 1)
+    SELECT f.vec_id, f.cid AS cluster, (d.dup_of IS NULL) AS kept,
+           d.dup_of, d.dup_sim
+    FROM a1 f LEFT JOIN dup d ON f.vec_id = d.vid
+    """,
+)
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup semantic dedup (clustering.semdedup_prune, arXiv:2303.09540):
+    k-means partition then within-cluster prune — a vector is dropped iff
+    a lower-id cluster-mate has quantized cosine >= 0.3; dup_of is the
+    smallest such keeper. The pairwise step is confined inside clusters
+    (the paper's design point for corpus scale) and shuffles int8 codes,
+    never float vectors."""
+    from seatunnel_spark.operators.clustering import semdedup_prune as _sp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sp(emb, k=8, threshold=0.3, n_iters=1)
