@@ -2370,3 +2370,111 @@ def semdedup_prune(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return _sp(emb, k=8, threshold=0.3, n_iters=1)
+
+
+@_reg(
+    "corpus_split_assign",
+    f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+              UNION SELECT doc_b, doc_a FROM verified),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    clu AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    rep AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN clu c USING (doc_id)),
+    b AS (
+      SELECT doc_id, split_key,
+             ('0x' || substr(md5('split|' || CAST(split_key AS VARCHAR)), 1, 12))::BIGINT
+               % 1000000 AS split_ppm
+      FROM rep)
+    SELECT doc_id, split_key, split_ppm,
+           CASE WHEN split_ppm < 950000 THEN 'train'
+                WHEN split_ppm < 975000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def corpus_split_assign(spark, sf_dir):
+    """Leakage-free train/val/test split (curation.leakage_free_split):
+    the split key is the near-dup CLUSTER representative, so a training
+    document's paraphrase can never land in the eval split — the
+    contamination mode naive doc-hash splits miss. Buckets are exact
+    integer ppm of a 48-bit md5, bit-identical to the oracle."""
+    from seatunnel_spark.operators.curation import leakage_free_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_docs.minhash_lsh_pairs(
+        docs, k=16, bands=4, max_bucket=10, min_band_matches=2,
+        pair_policy="star",
+    )
+    verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
+    clusters = dedup_docs.dup_clusters(verified)
+    return leakage_free_split(docs, clusters)
+
+
+@_reg(
+    "corpus_clean_report",
+    f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+              UNION SELECT doc_b, doc_a FROM verified),
+    reach(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    non_canon AS (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(lbl)
+    ),
+    w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents),
+    wc AS (SELECT doc_id, t, count(*) AS c
+           FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2),
+    wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                      round(1 - count(*) / sum(c)::DOUBLE, 6) AS dup_word_frac,
+                      round(max(c) / sum(c)::DOUBLE, 6) AS top_word_frac
+               FROM wc GROUP BY 1)
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CASE WHEN d.n_chars < 150 THEN 'short_chars'
+                  WHEN s.n_words < 30 THEN 'few_words'
+                  WHEN s.dup_word_frac > 0.6 THEN 'dup_word_frac'
+                  WHEN s.top_word_frac > 0.12 THEN 'top_word_frac'
+                  WHEN d.doc_id IN (SELECT doc_id FROM non_canon) THEN 'near_dup'
+                  ELSE 'kept' END AS stage
+      FROM documents d JOIN wstats s USING (doc_id))
+    GROUP BY stage
+    """,
+)
+def corpus_clean_report(spark, sf_dir):
+    """Auditable cleaning funnel (curation.clean_funnel_report): every
+    document attributed to its FIRST failing corpus_clean gate, per-gate
+    drop counts + survivors. Same gates, same thresholds, same dedup
+    spine as corpus_clean — by construction n_docs['kept'] equals
+    corpus_clean's row count, and the report is the lineage view a 100 TB
+    cleaning run needs."""
+    from seatunnel_spark.operators.curation import clean_funnel_report
+    from seatunnel_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_stats(docs)
+    pairs = dedup_docs.minhash_lsh_pairs(
+        docs, k=16, bands=4, max_bucket=10, min_band_matches=2,
+        pair_policy="star",
+    )
+    verified = dedup_docs.ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.2)
+    non_canon = (
+        dedup_docs.dup_clusters(verified)
+        .where(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return clean_funnel_report(docs, rep, non_canon)

@@ -305,3 +305,84 @@ def fuzzy_decontaminate(
         .where(F.col("_j") >= threshold)
         .select(id_col, bench_id_col, F.round("_j", 6).alias("jaccard"))
     )
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    train_ppm: int = 950_000,
+    val_ppm: int = 975_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test assignment with ZERO near-dup leakage across splits.
+
+    Naive doc-hash splits put paraphrase-grade duplicates of training
+    documents into the eval split — the classic silent-contamination bug
+    in LLM data pipelines. Here the split key is the document's near-dup
+    CLUSTER representative (``clusters`` = dup_clusters output: doc_id,
+    cluster_id; singletons may be absent and key on themselves), so every
+    member of a cluster lands in the same split by construction.
+
+    Buckets are the deterministic 48-bit md5 hash of the key mod 1e6
+    (exact integer ppm space — bit-exact on any engine): < train_ppm →
+    train, < val_ppm → val, else test.
+
+    Scale shape: one broadcast-size left join against the cluster map
+    (near-dup clusters are a tiny fraction of the corpus) and a pure
+    expression — no extra shuffle beyond what cluster resolution already
+    paid."""
+    rep = (
+        docs.select(id_col)
+        .join(clusters.select(id_col, "cluster_id"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("split_key"),
+        )
+    )
+    ppm = _h48(F.col("split_key").cast("string"), "split") % 1_000_000
+    return rep.select(
+        id_col,
+        "split_key",
+        ppm.alias("split_ppm"),
+        F.when(ppm < train_ppm, "train")
+        .when(ppm < val_ppm, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def clean_funnel_report(
+    docs: DataFrame,
+    rep_stats: DataFrame,
+    non_canonical: DataFrame,
+    min_chars: int = 150,
+    min_words: int = 30,
+    max_dup_word_frac: float = 0.6,
+    max_top_word_frac: float = 0.12,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Auditable funnel for the corpus_clean recipe: every document is
+    attributed to its FIRST failing gate (the order below — fixed, so the
+    report is deterministic), giving per-gate drop counts plus the
+    survivor count. A cleaning pipeline that can't say WHERE documents
+    went is untrustworthy at 100 TB; this is the lineage view.
+
+    Gate order: short_chars → few_words → dup_word_frac → top_word_frac
+    → near_dup → kept. One narrow join per input, one CASE expression,
+    one k-row aggregation — no work beyond what corpus_clean already
+    does."""
+    nd = non_canonical.select(id_col).withColumn("_nd", F.lit(True))
+    joined = docs.join(rep_stats, id_col).join(nd, id_col, "left")
+    stage = (
+        F.when(F.col("n_chars") < min_chars, "short_chars")
+        .when(F.col("n_words") < min_words, "few_words")
+        .when(F.col("dup_word_frac") > max_dup_word_frac, "dup_word_frac")
+        .when(F.col("top_word_frac") > max_top_word_frac, "top_word_frac")
+        .when(F.col("_nd"), "near_dup")
+        .otherwise("kept")
+    )
+    return (
+        joined.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -179,3 +179,90 @@ def test_fuzzy_decontaminate_catches_paraphrase(spark):
     assert got[(1, 100)] == 1.0
     assert 0.5 <= got[(2, 100)] < 1.0
     assert (3, 100) not in got
+
+
+def test_leakage_free_split_cluster_cohesion(spark):
+    """Near-dup cluster members always share a split; singletons key on
+    themselves; the assignment is deterministic across runs."""
+    from seatunnel_spark.operators.curation import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    # clusters: {0,7,13} labeled 0, {2,9} labeled 2 — rest singletons
+    clusters = spark.createDataFrame(
+        [(0, 0), (7, 0), (13, 0), (2, 2), (9, 2)],
+        "doc_id long, cluster_id long",
+    )
+    out = {r.doc_id: r for r in leakage_free_split(docs, clusters).collect()}
+    assert len(out) == 20
+    assert out[0].split == out[7].split == out[13].split
+    assert out[0].split_key == out[7].split_key == 0
+    assert out[2].split == out[9].split and out[2].split_key == 2
+    assert out[5].split_key == 5  # singleton keys on itself
+    again = {r.doc_id: r.split for r in
+             leakage_free_split(docs, clusters).collect()}
+    assert again == {k: v.split for k, v in out.items()}
+
+
+def test_leakage_free_split_fractions(spark):
+    """ppm thresholds carve the id space: every bucket respects the
+    configured boundaries."""
+    from seatunnel_spark.operators.curation import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(500)], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, cluster_id long")
+    out = leakage_free_split(docs, empty, train_ppm=800_000, val_ppm=900_000)
+    rows = out.collect()
+    for r in rows:
+        if r.split == "train":
+            assert r.split_ppm < 800_000
+        elif r.split == "val":
+            assert 800_000 <= r.split_ppm < 900_000
+        else:
+            assert r.split_ppm >= 900_000
+    splits = {r.split for r in rows}
+    assert splits == {"train", "val", "test"}
+
+
+def test_clean_funnel_first_failing_gate(spark):
+    """Each doc lands in exactly its FIRST failing gate, and the funnel
+    totals the corpus."""
+    from seatunnel_spark.operators.curation import clean_funnel_report
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 200), (3, 200), (4, 200), (5, 200), (6, 200)],
+        "doc_id long, n_chars long",
+    )
+    rep = spark.createDataFrame(
+        [
+            # doc 1: fails short_chars AND few_words -> counted short_chars
+            (1, 5, 0.0, 0.0),
+            (2, 10, 0.9, 0.9),   # few_words (first failing)
+            (3, 100, 0.9, 0.9),  # dup_word_frac
+            (4, 100, 0.1, 0.9),  # top_word_frac
+            (5, 100, 0.1, 0.1),  # near_dup (via non_canonical)
+            (6, 100, 0.1, 0.1),  # kept
+        ],
+        "doc_id long, n_words long, dup_word_frac double, top_word_frac double",
+    )
+    non_canon = spark.createDataFrame([(5,)], "doc_id long")
+    got = {r.stage: r.n_docs for r in
+           clean_funnel_report(docs, rep, non_canon).collect()}
+    assert got == {"short_chars": 1, "few_words": 1, "dup_word_frac": 1,
+                   "top_word_frac": 1, "near_dup": 1, "kept": 1}
+    assert sum(got.values()) == 6
+
+
+def test_funnel_kept_equals_corpus_clean(spark):
+    """The report's 'kept' bucket is corpus_clean's survivor count on the
+    same data — the funnel and the filter are the same recipe."""
+    from seatunnel_spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    kept = {r.stage: r.n_docs
+            for r in QUERIES["corpus_clean_report"](spark, sf).collect()}
+    n_clean = QUERIES["corpus_clean"](spark, sf).count()
+    assert kept.get("kept", 0) == n_clean
