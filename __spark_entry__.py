@@ -4,8 +4,9 @@
 ``queries()`` / ``oracle_sql()`` — the operator registry lives in
 ``seatunnel_spark.entry_queries``; every implemented operator from
 SURVEY.md §2 (CDC source/sink semantics, transforms, Zeta functions,
-analytics heads, and the training-data + curation suites) has an entry,
-and every one of the 60 carries a DuckDB oracle (including the mapInPandas
+analytics heads, and the training-data + curation/clustering suites) has
+an entry, and every one of the 69 carries a DuckDB oracle (including the
+unrolled-iteration k-means replay and the mapInPandas
 media featurizer over its deterministic fake — PNG decode is real
 stdlib code as of round 5; other codecs remain honest container-limit
 stubs).
