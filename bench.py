@@ -311,6 +311,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": cdc,
         "cpus": CPUS,
+        # diagnosability: which driver JVM the numbers came from (the
+        # sandbox host regressed mid-round-5; see BENCH.md "Host
+        # regression" — absolute CDC walls are boot-dependent)
+        "driver_java_opts": spark.conf.get("spark.driver.extraJavaOptions", ""),
     }
     if scaleup:
         out["scaleup"] = {"factor": SCALEUP_FACTOR, "queries": scaleup}

@@ -13,6 +13,40 @@ import os
 from pyspark.sql import SparkSession
 
 
+def default_gc_opts(heap: str = "48g") -> str:
+    """Throughput-biased driver JVM options for this engine's batch/replay
+    workloads: ParallelGC with growth-biased ergonomics.
+
+    Why not the JDK-17 default G1: measured on this sandbox (2026-08-17
+    boot, kernel 6.18.5-fc-v20) the 4M-event CDC replay took 225-507s
+    under G1 — its concurrent refinement/mark machinery degenerates into
+    a futex/timer storm (79% system CPU, `hrtimer: interrupt took 17ms`
+    in dmesg) under this kernel's timer behavior. ParallelGC alone was
+    unstable (ergonomics shrank the heap and issued 24 Full GCs = 210s of
+    pauses on one run); pinning growth-biased sizing (GCTimeRatio=99,
+    never shrink, modest -Xms) gives a reproducible 68-75s. On a real
+    cluster executors get explicit heap sizing anyway; a stop-the-world
+    throughput collector is the standard choice for batch/ETL executors.
+
+    ``-Xms`` is capped at a quarter of the heap so small-heap runs (the
+    N-vs-4N scaling protocol uses 24g) never pre-commit more than they
+    can grow into; override everything via SPARK_GRAFT_JAVA_OPTS.
+    """
+    env = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if env is not None:
+        return env
+    try:
+        gb = int(str(heap).lower().rstrip("gb").strip() or 0)
+    except ValueError:
+        gb = 0
+    xms = max(1, min(12, gb // 4))
+    return (
+        "-XX:+UseParallelGC -XX:ParallelGCThreads=8 "
+        f"-Xms{xms}g -XX:MinHeapFreeRatio=10 -XX:MaxHeapFreeRatio=100 "
+        "-XX:GCTimeRatio=99"
+    )
+
+
 def get_spark(
     app_name: str = "seatunnel_spark",
     master: str | None = None,
@@ -49,9 +83,28 @@ def get_spark(
         # off (our subset is the full PK — cardinality is never degraded)
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            default_gc_opts(os.environ.get("SPARK_DRIVER_MEM", "48g")),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    # netty/rpc pools default to 2x HOST cpus — 64 mostly-idle timer-wheel
+    # threads in a small session. Size them to the session's parallelism
+    # (capped at 8: local-mode RPC is driver-internal and never needs
+    # more); on the degraded sandbox kernel idle timers are taxed heavily
+    # (see default_gc_opts), and on a real cluster this is the standard
+    # "threads follow executor cores" rule.
+    io_threads = str(max(1, min(8, shuffle_partitions)))
+    for k in (
+        "spark.rpc.io.serverThreads",
+        "spark.rpc.io.clientThreads",
+        "spark.shuffle.io.serverThreads",
+        "spark.shuffle.io.clientThreads",
+        "spark.rpc.netty.dispatcher.numThreads",
+    ):
+        builder = builder.config(k, io_threads)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -35,6 +35,31 @@ def run_once(cores: int, events: int, fixture: str, workdir: str, mem: str,
     spark_submit = shutil.which("spark-submit") or str(
         Path(sys.executable).parent / "spark-submit")
     cmd = [spark_submit, "--master", f"local[{cores}]", "--driver-memory", mem]
+    # same throughput-GC options the engine session uses (see
+    # seatunnel_spark.session.default_gc_opts: the sandbox kernel's timer
+    # behavior degenerates G1 into a futex storm; ParallelGC with
+    # growth-biased ergonomics is stable at every core count), with GC
+    # threads sized to the CELL's cores — the JVM would otherwise size
+    # them to the 32 HOST cpus, and 8+ GC threads inside a local[4] cell
+    # measured 278s vs 158s (A/B in BENCH.md). Same rule a real cluster
+    # applies: executor JVM threads scale with executor cores, not with
+    # whatever machine the container lands on.
+    from seatunnel_spark.session import default_gc_opts
+
+    opts = default_gc_opts(mem)
+    if "SPARK_GRAFT_JAVA_OPTS" not in os.environ:
+        opts = opts.replace(
+            "-XX:ParallelGCThreads=8",
+            f"-XX:ParallelGCThreads={max(1, min(8, cores))}",
+        )
+    cmd += ["--conf", f"spark.driver.extraJavaOptions={opts}"]
+    # netty/rpc pools likewise default to 2x HOST cpus (64 threads in a
+    # 1-core cell); idle timer wheels are what the degraded host taxes.
+    # local[4] with pools=4 measured 109s vs 158s (BENCH.md).
+    for k in ("spark.rpc.io.serverThreads", "spark.rpc.io.clientThreads",
+              "spark.shuffle.io.serverThreads", "spark.shuffle.io.clientThreads",
+              "spark.rpc.netty.dispatcher.numThreads"):
+        cmd += ["--conf", f"{k}={cores}"]
     if tmpfs:
         os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
         cmd += ["--conf", "spark.local.dir=/dev/shm/spark-tmp"]
