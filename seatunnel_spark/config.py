@@ -852,8 +852,20 @@ def _run_sink(block: dict, df: DataFrame) -> dict:
         timeout_s = float(block.get("timeout", 60))
         responses = []
         for r in reqs:
-            # DataHubWriter retry contract: re-submit a failed exchange
-            # up to retryTimes before giving up
+            # Retry semantics — two documented divergences from the
+            # reference DataHubWriter (alongside the per-field record
+            # divergence noted in sinks/datahub.py):
+            # 1. Granularity: a failed exchange is re-submitted WHOLE
+            #    (chunk-level at-least-once) — if the server partially
+            #    applied it, already-published records in that chunk
+            #    duplicate on retry. The reference retries only
+            #    result.getFailedRecords(). PutRecords gives no
+            #    per-record ack on a transport failure, so chunk-level
+            #    is the honest floor; shrink chunk_rows under retry to
+            #    bound the duplication window.
+            # 2. Exhaustion: we RAISE after retryTimes so the job fails
+            #    loudly; the reference logs the exception and keeps the
+            #    job alive (silent data loss by our reading).
             for attempt in range(retries + 1):
                 try:
                     responses.append(r.execute(timeout_s=timeout_s))

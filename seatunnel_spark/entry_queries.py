@@ -2365,11 +2365,18 @@ def semdedup_prune(spark, sf_dir):
     a lower-id cluster-mate has quantized cosine >= 0.3; dup_of is the
     smallest such keeper. The pairwise step is confined inside clusters
     (the paper's design point for corpus scale) and shuffles int8 codes,
-    never float vectors."""
+    never float vectors. k is DERIVED from corpus size (clustering.derive_k,
+    target cluster ~256) so cluster cardinality — and with it the pair
+    stage's per-cluster quadratic — stays bounded as the corpus grows:
+    at sf0.01 (n=500) and sf0.1 (n=2000) the derivation lands on k=8,
+    which is what the static oracle replays; at the 10x bench fixture
+    (n=20000) it lands on k=128 and the stage goes linear. The
+    max_cluster guard (16384) mirrors minhash_lsh_pairs.max_bucket and
+    never trips at these sizes."""
     from seatunnel_spark.operators.clustering import semdedup_prune as _sp
 
     emb = _t(spark, sf_dir, "embeddings")
-    return _sp(emb, k=8, threshold=0.3, n_iters=1)
+    return _sp(emb, k=None, threshold=0.3, n_iters=1, target_cluster=256)
 
 
 @_reg(

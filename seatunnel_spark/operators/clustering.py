@@ -32,6 +32,7 @@ int8 codes, never raw float vectors.
 from __future__ import annotations
 
 import math
+import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -146,26 +147,76 @@ def kmeans_quantized(
     return assigned
 
 
+def derive_k(n: int, target_cluster: int = 256) -> int:
+    """Deterministic cluster count for a corpus of ``n`` vectors: the
+    smallest power of two giving an expected cluster size <= ``target_cluster``,
+    floored at 8. Power-of-two so the derivation is stable across tiny
+    count perturbations, and purely a function of (n, target_cluster) so
+    an oracle can replay it."""
+    if n <= 0:
+        return 8
+    return max(8, 1 << max(0, math.ceil(math.log2(max(1.0, n / target_cluster)))))
+
+
 def semdedup_prune(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     threshold: float = 0.3,
     n_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster: int = 256,
+    max_cluster: int | None = 16384,
 ) -> DataFrame:
     """SemDeDup: k-means partition, then within-cluster semantic prune.
     A vector is dropped iff some lower-id vector in its cluster has
     quantized cosine >= threshold; ``dup_of`` is the smallest such
     keeper and ``dup_sim`` the similarity to it. Returns every input id:
-    (id, cluster, kept, dup_of, dup_sim)."""
+    (id, cluster, kept, dup_of, dup_sim).
+
+    Scale controls (round-5 verdict: a pinned k makes the within-cluster
+    all-pairs step quadratic in corpus size):
+
+    - ``k=None`` (default) derives k from the corpus size via
+      :func:`derive_k` so expected cluster cardinality stays ~
+      ``target_cluster`` regardless of corpus scale — the pair stage is
+      then O(n * target_cluster), linear in n. The derivation is a pure
+      function of the corpus count, so a fixed-k oracle replays exactly
+      at any SF where the derivation lands on that k.
+    - ``max_cluster`` is the loud oversized-cluster guard mirroring
+      ``minhash_lsh_pairs.max_bucket``: clusters above the cap (a skewed
+      centroid attracting a corpus-sized blob would otherwise emit
+      O(blob^2) pairs silently) are EXCLUDED from the pairwise stage —
+      their members all come back ``kept=true`` — and a warning reports
+      which clusters and how many members were skipped. Set ``None`` to
+      disable (e.g. when an oracle must replay the unguarded algebra)."""
     from pyspark.sql import Window
 
+    if k is None:
+        k = derive_k(df.count(), target_cluster)
     asg = kmeans_quantized(df, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col)
-    a = asg.select(
+    pair_src = asg
+    if max_cluster is not None:
+        sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("_cn"))
+        over = sizes.where(F.col("_cn") > max_cluster).collect()  # <= k rows
+        if over:
+            detail = ", ".join(f"cluster {r['cluster']}: {r['_cn']}" for r in over)
+            warnings.warn(
+                f"semdedup_prune: {len(over)} cluster(s) exceed "
+                f"max_cluster={max_cluster} and are excluded from the "
+                f"pairwise prune (members kept un-pruned): {detail}. "
+                "Raise k / lower target_cluster to split them.",
+                stacklevel=2,
+            )
+            pair_src = asg.join(
+                sizes.where(F.col("_cn") <= max_cluster).select("cluster"),
+                "cluster",
+                "leftsemi",
+            )
+    a = pair_src.select(
         F.col(id_col).alias("keep_id"), "cluster", F.col("codes").alias("kc")
     )
-    b = asg.select(
+    b = pair_src.select(
         F.col(id_col).alias("_vid"), "cluster", F.col("codes").alias("vc")
     )
     dot = F.aggregate(

@@ -9,6 +9,7 @@ partitions sized to cores rather than the 200 default.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -30,21 +31,30 @@ def default_gc_opts(heap: str = "48g") -> str:
 
     ``-Xms`` is capped at a quarter of the heap so small-heap runs (the
     N-vs-4N scaling protocol uses 24g) never pre-commit more than they
-    can grow into; override everything via SPARK_GRAFT_JAVA_OPTS.
+    can grow into, and is OMITTED entirely when the heap string can't be
+    parsed or resolves below 4g — a floor like ``-Xms1g`` against e.g.
+    ``SPARK_DRIVER_MEM=512m`` makes the JVM refuse to start ("Initial
+    heap size set to a larger value than the maximum heap size").
+    Override everything via SPARK_GRAFT_JAVA_OPTS.
     """
     env = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if env is not None:
         return env
-    try:
-        gb = int(str(heap).lower().rstrip("gb").strip() or 0)
-    except ValueError:
-        gb = 0
-    xms = max(1, min(12, gb // 4))
-    return (
+    # JVM memory strings: digits + optional unit k/m/g/t (case-insensitive);
+    # no unit means bytes
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", str(heap).lower())
+    gb = 0.0
+    if m:
+        scale = {"": 1 / 2**30, "k": 1 / 2**20, "m": 1 / 2**10, "g": 1.0, "t": 1024.0}
+        gb = int(m.group(1)) * scale[m.group(2)]
+    base = (
         "-XX:+UseParallelGC -XX:ParallelGCThreads=8 "
-        f"-Xms{xms}g -XX:MinHeapFreeRatio=10 -XX:MaxHeapFreeRatio=100 "
-        "-XX:GCTimeRatio=99"
+        "-XX:MinHeapFreeRatio=10 -XX:MaxHeapFreeRatio=100 -XX:GCTimeRatio=99"
     )
+    if gb < 4:
+        return base
+    xms = max(1, min(12, int(gb) // 4))
+    return f"{base} -Xms{xms}g"
 
 
 def get_spark(

@@ -39,6 +39,7 @@ does) and the data path is an ordinary distributed parquet scan.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -52,6 +53,17 @@ _BASE_FILE_RE = re.compile(
 # completed-instant timeline files: {instant}.commit / {instant}.replacecommit
 # (state suffixes .requested / .inflight mark uncommitted work)
 _COMPLETED_RE = re.compile(r"^(?P<instant>\d+)\.(commit|replacecommit)$")
+
+
+def _instant_key(instant: str) -> int:
+    """Numeric ordering key for timeline instants. Hudi timelines upgraded
+    across 0.10 mix 14-digit (second) and 17-digit (millisecond) instant
+    formats; Hudi's own compatibility rule
+    (HoodieInstantTimeGenerator.fixInstantTimeCompatibility) pads the old
+    format with zero milliseconds before comparing, and lexicographic
+    comparison of mixed widths picks the wrong winner. Mirror the pad +
+    compare numerically."""
+    return int(instant.ljust(17, "0") if len(instant) < 17 else instant)
 
 
 def hudi_completed_instants(table_path: str) -> set[str]:
@@ -72,24 +84,70 @@ def hudi_completed_instants(table_path: str) -> set[str]:
     return out
 
 
+def hudi_replaced_file_groups(table_path: str) -> set[tuple[str, str]]:
+    """(partition-relative-path, fileId) groups obsoleted by completed
+    replacecommits. A clustering / insert_overwrite commit writes new base
+    files under NEW file ids and records the groups it replaces in the
+    replacecommit metadata's ``partitionToReplaceFileIds`` map
+    (HoodieReplaceCommitMetadata in the public table spec);
+    ``HoodieParquetInputFormat``/``HoodieROTablePathFilter`` hide those
+    groups from snapshot queries even though their latest base files are
+    still on disk. An unparseable replacecommit raises loudly rather than
+    silently returning duplicate/stale rows."""
+    timeline = os.path.join(table_path, ".hoodie")
+    replaced: set[tuple[str, str]] = set()
+    for name in os.listdir(timeline):
+        m = _COMPLETED_RE.match(name)
+        if not m or not name.endswith(".replacecommit"):
+            continue
+        path = os.path.join(timeline, name)
+        with open(path, "rb") as fh:
+            body = fh.read()
+        if not body.strip():
+            # Hudi writes empty completed files for some actions; an empty
+            # replacecommit replaces nothing
+            continue
+        try:
+            meta = json.loads(body)
+            part_map = meta.get("partitionToReplaceFileIds") or {}
+            for partition, file_ids in part_map.items():
+                for fid in file_ids or []:
+                    replaced.add((partition, fid))
+        except (ValueError, AttributeError) as exc:
+            raise ValueError(
+                f"cannot parse replacecommit metadata {path}: {exc}; "
+                "refusing to return a snapshot that may contain replaced "
+                "(stale/duplicate) file groups"
+            ) from exc
+    return replaced
+
+
 def hudi_snapshot_files(table_path: str) -> list[str]:
     """Resolve the COW snapshot file slices: for every file group
     (partition dir, fileId), the base file with the max instantTime among
-    COMPLETED instants. Files from uncommitted instants are invisible,
-    exactly like ``HoodieROTablePathFilter``."""
+    COMPLETED instants — excluding groups obsoleted by a completed
+    replacecommit. Files from uncommitted instants are invisible, exactly
+    like ``HoodieROTablePathFilter``."""
     completed = hudi_completed_instants(table_path)
-    latest: dict[tuple[str, str], tuple[str, str]] = {}
+    replaced = hudi_replaced_file_groups(table_path)
+    root = os.path.abspath(table_path)
+    latest: dict[tuple[str, str], tuple[int, str]] = {}
     for dirpath, dirnames, filenames in os.walk(table_path):
         # never descend into metadata dirs (.hoodie and friends)
         dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        rel = os.path.relpath(os.path.abspath(dirpath), root)
+        partition = "" if rel == "." else rel
         for name in filenames:
             m = _BASE_FILE_RE.match(name)
             if not m or m.group("instant") not in completed:
                 continue
+            if (partition, m.group("file_id")) in replaced:
+                continue
             key = (dirpath, m.group("file_id"))
             cur = latest.get(key)
-            if cur is None or m.group("instant") > cur[0]:
-                latest[key] = (m.group("instant"), os.path.join(dirpath, name))
+            ik = _instant_key(m.group("instant"))
+            if cur is None or ik > cur[0]:
+                latest[key] = (ik, os.path.join(dirpath, name))
     return sorted(path for _, path in latest.values())
 
 

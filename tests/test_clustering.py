@@ -7,7 +7,11 @@ algorithmic semantics on hand-computable fixtures."""
 import pytest
 from pyspark.sql import functions as F
 
-from seatunnel_spark.operators.clustering import kmeans_quantized, semdedup_prune
+from seatunnel_spark.operators.clustering import (
+    derive_k,
+    kmeans_quantized,
+    semdedup_prune,
+)
 
 
 def _emb(spark, rows):
@@ -77,6 +81,45 @@ def test_prune_keeper_is_min_id(spark):
            semdedup_prune(_emb(spark, rows), k=1, threshold=0.9).collect()}
     assert out[5].kept
     assert out[7].dup_of == 5 and out[9].dup_of == 5
+
+
+def test_derive_k_keeps_cluster_size_bounded():
+    # pure function of (n, target): oracle-replayable and scale-linear
+    assert derive_k(0) == 8
+    assert derive_k(500, 256) == 8      # sf0.01 — matches the static oracle
+    assert derive_k(2000, 256) == 8     # sf0.1 — same k, same oracle
+    assert derive_k(20000, 256) == 128  # 10x bench fixture: pair stage linear
+    assert derive_k(1_000_000, 256) == 4096
+    # expected cluster size stays within 2x of target at any scale
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        k = derive_k(n, 256)
+        assert n / k <= 256 * 2
+
+
+def test_semdedup_derived_k_matches_pinned_k(spark):
+    rows = [(i, [float((i * 3 + d) % 7) for d in range(8)]) for i in range(24)]
+    pinned = sorted((r.vec_id, r.kept) for r in
+                    semdedup_prune(_emb(spark, rows), k=8).collect())
+    derived = sorted((r.vec_id, r.kept) for r in
+                     semdedup_prune(_emb(spark, rows), k=None).collect())
+    assert pinned == derived  # n=24 -> derive_k floors at 8
+
+
+def test_semdedup_oversized_cluster_guard(spark):
+    # all vectors collinear -> k=1 puts everything in one cluster; with
+    # max_cluster below that size the pair stage is skipped LOUDLY and
+    # every member comes back kept
+    rows = [(i, [1.0 + i * 1e-4, 0.0]) for i in range(10)]
+    with pytest.warns(UserWarning, match="max_cluster"):
+        out = semdedup_prune(
+            _emb(spark, rows), k=1, threshold=0.5, max_cluster=5
+        ).collect()
+    assert len(out) == 10 and all(r.kept for r in out)
+    # same data, guard off: the prune actually fires
+    ungated = semdedup_prune(
+        _emb(spark, rows), k=1, threshold=0.5, max_cluster=None
+    ).collect()
+    assert sum(1 for r in ungated if not r.kept) > 0
 
 
 def test_bad_params_raise(spark):
