@@ -5,11 +5,13 @@
 ``seatunnel_spark.entry_queries``; every implemented operator from
 SURVEY.md §2 (CDC source/sink semantics, transforms, Zeta functions,
 analytics heads, and the training-data + curation/clustering suites) has
-an entry, and every one of the 69 carries a DuckDB oracle (including the
+an entry, and every one of the 74 carries a DuckDB oracle (including the
 unrolled-iteration k-means replay and the mapInPandas
 media featurizer over its deterministic fake — PNG decode is real
 stdlib code as of round 5; other codecs remain honest container-limit
-stubs).
+stubs). Round 6 closed the last partial §2.1 row (S3 uneven splitter)
+and added gram novelty, vocabulary top-k, char diversity, and
+stratified sampling.
 """
 
 from __future__ import annotations

@@ -167,9 +167,16 @@ SCALEUP_HEADS = [
     "corpus_decontaminate_fuzzy",
     "ann_quantized_topk",
     # round-5 third wave: Lloyd's k-means trainer + SemDeDup prune (the
-    # within-cluster pairwise step is the honest quadratic to watch)
+    # within-cluster pairwise step is the honest quadratic to watch —
+    # round 6 derives k from corpus size, so this should now track linear)
     "embedding_kmeans",
     "semdedup_prune",
+    # round-6 additions: corpus-wide gram novelty, vocabulary top-k,
+    # char-diversity gate, stratified sampling
+    "text_ngram_novelty",
+    "vocab_top_tokens",
+    "text_char_diversity",
+    "corpus_sample_stratified",
 ]
 SCALEUP_FACTOR = int(os.environ.get("BENCH_SCALEUP_FACTOR", "10"))
 

@@ -2485,3 +2485,145 @@ def corpus_clean_report(spark, sf_dir):
         .select("doc_id")
     )
     return clean_funnel_report(docs, rep, non_canon)
+
+
+# DuckDB fragment: 13-word grams of `text` (matches curation._ngrams(n=13))
+_DG13 = (
+    f"[array_to_string(list_slice({_DW}, i, i + 12), ' ') "
+    f"FOR i IN range(1, greatest(len({_DW}) - 12, 1) + 1)]"
+)
+
+
+@_reg(
+    "s3_uneven_chunk_walk",
+    """
+    WITH r AS (SELECT k, row_number() OVER (ORDER BY k) AS rn
+               FROM (SELECT DISTINCT o_orderkey AS k FROM orders))
+    SELECT CAST((rn - 1) // 2000 AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_rows, min(k) AS key_lo, max(k) AS key_hi
+    FROM r GROUP BY 1
+    """,
+)
+def s3_uneven_chunk_walk(spark, sf_dir):
+    """Uneven chunk splitter (sharding.uneven_chunk_splits; reference
+    splitUnevenlySizedChunks, AbstractJdbcSourceChunkSplitter.java:183-231):
+    chunk boundaries at every chunk_size-th DISTINCT key in key order —
+    the reference's serial MAX-over-LIMIT walk produces exactly these
+    cuts, one DB round-trip per chunk; here the rank is the two-phase
+    distributed rank (range repartition of the key column + per-partition
+    offsets), so 10^10 rows need zero serial round-trips. TPC-H orderkeys
+    are gap-heavy (sparse key space), the exact case the even splitter's
+    distributionFactor guard rejects."""
+    from seatunnel_spark.operators.sharding import uneven_chunk_splits
+
+    o = _t(spark, sf_dir, "orders")
+    return uneven_chunk_splits(o, "o_orderkey", chunk_size=2000)
+
+
+@_reg(
+    "text_ngram_novelty",
+    f"""
+    WITH dg AS (
+      SELECT doc_id, {_dh48('g', 'novel')} AS gh
+      FROM (SELECT doc_id, unnest(list_distinct({_DG13})) AS g FROM documents)),
+    nd AS (SELECT gh, count(*) AS n_docs FROM dg GROUP BY gh)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(((count(*) - sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)) * 1000000)
+                // count(*) AS BIGINT) AS novelty_ppm
+    FROM dg JOIN nd USING (gh) GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-doc 13-gram novelty (text.ngram_novelty): exact fraction of a
+    document's distinct 13-grams that occur in NO other document — the
+    corpus-duplication audit that catches chunk-assembled documents
+    doc-level MinHash misses (and the doc-granular view of the
+    repeated-spans signal, at the decontamination industry-standard n=13).
+    Grams shuffle as 48-bit digests; frequency is one map-side-combinable
+    agg."""
+    from seatunnel_spark.operators.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=13)
+
+
+@_reg(
+    "vocab_top_tokens",
+    f"""
+    WITH tf AS (
+      SELECT t AS token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT unnest({_DW}) AS t FROM documents)
+      WHERE t <> '' GROUP BY 1)
+    SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+           token, tf
+    FROM tf ORDER BY tf DESC, token LIMIT 100
+    """,
+)
+def vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary head (text.vocab_top_tokens): top-100 tokens by
+    exact corpus frequency, deterministic tie-break by token string — the
+    tokenizer-training / stopword-calibration view. One map-side-combinable
+    aggregate (the only shuffle, one row per distinct token) feeding
+    Spark's TakeOrdered top-k — per-partition heaps, never a full sort."""
+    from seatunnel_spark.operators.text import vocab_top_tokens as _vt
+
+    docs = _t(spark, sf_dir, "documents")
+    return _vt(docs, top_n=100)
+
+
+@_reg(
+    "text_char_diversity",
+    """
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '')) AS c1
+      FROM documents),
+    h AS (SELECT doc_id, c1, count(*) AS c FROM ch WHERE c1 <> '' GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS distinct_chars,
+           CAST(CASE WHEN sum(c) > 1
+                     THEN (sum(c * (c - 1))::HUGEINT * 1000000)
+                          // (sum(c)::HUGEINT * (sum(c) - 1))
+                     ELSE 1000000 END AS BIGINT) AS simpson_ppm,
+           CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top_char_ppm
+    FROM h GROUP BY doc_id
+    """,
+)
+def text_char_diversity(spark, sf_dir):
+    """Character-diversity gate (text.char_diversity): Simpson collision
+    index over each doc's normalized char histogram — the
+    mojibake/binary-spill/char-flood detector. A pure integer rational
+    (entropy's transcendental log is NOT exactly rounded across engines,
+    Simpson is bit-exact); decimal(38,0) ppm math mirrors token_rarity's
+    overflow discipline."""
+    from seatunnel_spark.operators.text import char_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_diversity(docs)
+
+
+@_reg(
+    "corpus_sample_stratified",
+    """
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def corpus_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample (curation.stratified_sample):
+    exactly min(10, |stratum|) docs per source, chosen by md5 rank — an
+    unbiased, engine-reproducible eval/review draw (uniform sampling
+    over-represents big domains; seeded RNGs don't replay across
+    engines). One shuffle keyed by stratum; only (id, digest) pairs
+    sort."""
+    from seatunnel_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, strata_col="source", n_per_stratum=10)

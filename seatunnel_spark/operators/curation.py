@@ -386,3 +386,34 @@ def clean_funnel_report(
         .groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    n_per_stratum: int = 50,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sample: exactly ``min(n, |stratum|)`` docs
+    per stratum, chosen by md5 rank — the eval-set / human-review draw
+    every corpus pipeline needs (uniform random sampling over-represents
+    big domains; a seeded-rng sample isn't replayable across engines).
+    The md5 of (salt, doc id) is a uniform deterministic permutation, so
+    the draw is unbiased within each stratum and bit-reproducible
+    anywhere md5 exists. Returns (doc_id, <strata_col>, sample_rank).
+
+    100 TB shape: one shuffle keyed by stratum; the rank-k window sorts
+    each stratum's (id, digest) pairs only — no payload columns travel.
+    For pathological single-stratum corpora, pre-gate with a per-stratum
+    count and hash-threshold filter (keep ~2n by digest range, then
+    window the survivors) — the same two-phase trick sharding uses."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(key, id_col)
+    return (
+        df.select(id_col, strata_col)
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= int(n_per_stratum))
+    )

@@ -139,3 +139,37 @@ def sample_sharding(
         F.max(key).alias("key_hi"),
     )
     return out, True
+
+
+def uneven_chunk_splits(
+    df: DataFrame, key: str, chunk_size: int = 8096
+) -> DataFrame:
+    """S3 — the reference's UNEVEN chunk splitter, distributed. When the
+    key space is too skewed for arithmetic range splits (distributionFactor
+    outside [0.05, 100]), the reference walks the table serially: each
+    chunk's end is the key ``chunk_size`` rows ahead
+    (``splitUnevenlySizedChunks`` / ``nextChunkEnd``,
+    AbstractJdbcSourceChunkSplitter.java:183-231 — a MAX-over-LIMIT query
+    per chunk). The equivalent split set, computed in parallel: rank the
+    DISTINCT keys (PK semantics) and cut at every ``chunk_size``-th rank.
+    Returns (chunk_id, n_rows, key_lo, key_hi) — chunks are exactly
+    ``chunk_size`` keys except the tail, regardless of key-space gaps or
+    clumps.
+
+    100 TB shape: ranking uses ``_distributed_rank`` — a range
+    repartition of the KEY COLUMN ONLY plus per-partition offsets; no
+    single-task sort, no serial driver walk (the reference needs one
+    round-trip per chunk; 10^10 rows / 8096 = 1.2M round-trips)."""
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    ranked, _n = _distributed_rank(df.select(key).distinct(), key)
+    return (
+        ranked.groupBy(
+            _idiv(F.col("rn") - 1, F.lit(chunk_size)).cast("bigint").alias("chunk_id")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min(key).alias("key_lo"),
+            F.max(key).alias("key_hi"),
+        )
+    )

@@ -376,3 +376,125 @@ def repeated_spans(
             ).alias("repeated_span_ppm"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame, n: int = 13, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram novelty — the inverse of corpus-wide n-gram
+    duplication (the RefinedWeb/Dolma "fraction of document duplicated
+    elsewhere" audit signal, at the 13-gram granularity GPT-3-style
+    decontamination uses): for each doc, the exact fraction of its
+    DISTINCT word n-grams that occur in no other document. High novelty =
+    genuinely new text; low novelty = assembled from corpus-repeated
+    chunks even when no single pairwise near-dup exists (the case
+    doc-level MinHash misses). Returns (doc_id, n_grams, n_shared,
+    novelty_ppm) with novelty_ppm = (n_grams - n_shared) * 10^6 div
+    n_grams, exact integer arithmetic.
+
+    100 TB shape: grams shuffle as 48-bit digests only; the
+    docs-per-gram frequency is one map-side-combinable aggregate (a doc's
+    grams are pre-distinct, so partial counts are exact); the join back
+    is digest-keyed. Docs shorter than ``n`` words contribute their whole
+    text as one gram (same floor as curation._ngrams)."""
+    from seatunnel_spark.operators.curation import _ngrams
+    from seatunnel_spark.operators.dedup_docs import _h48
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_ngrams(col, n))).alias("g"),
+    ).select(id_col, _h48(F.col("g"), "novel").alias("gh"))
+    ndocs = grams.groupBy("gh").agg(F.count("*").alias("n_docs"))
+    return (
+        grams.join(ndocs, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_shared",
+            F.expr(
+                "CAST(((n_grams - n_shared) * 1000000) div n_grams AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+def vocab_top_tokens(
+    df: DataFrame, top_n: int = 100, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_n`` most frequent whitespace
+    tokens with exact counts and a deterministic rank (ties broken by
+    token string) — the tokenizer-training / stopword-calibration view
+    every corpus build starts from, and the denominator audit for
+    token_rarity's ppm table. Returns (rank, token, tf).
+
+    100 TB shape: one map-side-combinable (token → count) aggregate —
+    the only shuffle, carrying one row per distinct token — then a
+    global top-k (Spark TakeOrdered: per-partition heaps, no full sort);
+    the final row_number window runs over top_n rows on the driver-side
+    single partition, which is exactly k rows by then."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), " ")
+        ).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("tf"))
+    top = tf.orderBy(F.col("tf").desc(), F.col("token")).limit(int(top_n))
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"), "token", "tf"
+    )
+
+
+def char_diversity(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Character-level diversity gate — catches mojibake, binary spills,
+    and single-character floods that word-level stats miss. Entropy needs
+    a transcendental log (not exactly rounded across engines), so the
+    score is the SIMPSON index — the collision probability
+    sum(c_i*(c_i-1)) / (n*(n-1)) over the normalized text's character
+    histogram — which is a pure integer rational: bit-exact on any
+    engine. Low simpson_ppm = diverse text; near 10^6 = one character
+    repeated. Returns (doc_id, n_chars, distinct_chars, simpson_ppm,
+    top_char_ppm); single-char docs define simpson_ppm = 10^6.
+
+    100 TB shape: explode is a narrow map and the (doc, char) aggregate
+    is map-side combinable — after partial combine at most
+    |alphabet| rows per doc per partition shuffle; the per-doc rollup
+    reuses the same doc-keyed partitioning."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(norm, "")).alias("ch")
+    ).where(F.col("ch") != "")
+    hist = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    return (
+        hist.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars"),
+            F.count("*").cast("bigint").alias("distinct_chars"),
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("_coll"),
+            F.max("c").cast("bigint").alias("_top"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            "distinct_chars",
+            # decimal(38,0): _coll is O(n^2), so bigint*10^6 would overflow
+            # past ~3e6-char docs — same discipline as token_rarity
+            F.expr(
+                "CAST(CASE WHEN n_chars > 1 THEN (CAST(_coll AS DECIMAL(38,0)) * 1000000) div (CAST(n_chars AS DECIMAL(38,0)) * (n_chars - 1)) ELSE 1000000 END AS BIGINT)"
+            ).alias("simpson_ppm"),
+            F.expr("CAST((_top * 1000000) div n_chars AS BIGINT)").alias(
+                "top_char_ppm"
+            ),
+        )
+    )

@@ -608,3 +608,93 @@ def test_repeated_spans(spark):
     assert got[1][1] >= 2 and got[2][1] >= 2
     assert got[1][1] < got[1][0]        # the distinct tails don't repeat
     assert got[3] == (1, 1) and got[4] == (1, 1)  # whole-text span shared
+
+
+def test_uneven_chunk_splits_gap_heavy_keys(spark):
+    """S3: boundaries every chunk_size-th DISTINCT key regardless of key
+    gaps — the case the even splitter's distributionFactor guard rejects
+    (AbstractJdbcSourceChunkSplitter.java:183-231)."""
+    from seatunnel_spark.operators.sharding import uneven_chunk_splits
+
+    # 10 keys with huge gaps + a duplicate row (distinct collapses it)
+    keys = [1, 2, 3, 1000, 1001, 50000, 50001, 50002, 9_000_000, 9_000_001]
+    df = spark.createDataFrame([(k,) for k in keys] + [(3,)], "k long")
+    out = {r.chunk_id: r for r in uneven_chunk_splits(df, "k", chunk_size=4).collect()}
+    assert len(out) == 3
+    assert (out[0].n_rows, out[0].key_lo, out[0].key_hi) == (4, 1, 1000)
+    assert (out[1].n_rows, out[1].key_lo, out[1].key_hi) == (4, 1001, 50002)
+    assert (out[2].n_rows, out[2].key_lo, out[2].key_hi) == (2, 9_000_000, 9_000_001)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="chunk_size"):
+        uneven_chunk_splits(df, "k", chunk_size=0)
+
+
+def test_ngram_novelty(spark):
+    from seatunnel_spark.operators.text import ngram_novelty
+
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} one two"),       # grams shared with doc 2
+            (2, f"{shared} three four"),
+            (3, "totally different words here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(df, n=4).collect()}
+    # doc 3 shares nothing: fully novel
+    assert out[3].n_shared == 0 and out[3].novelty_ppm == 1_000_000
+    # docs 1 and 2 share the 'alpha beta gamma delta' 4-gram
+    assert out[1].n_shared >= 1 and out[1].novelty_ppm < 1_000_000
+    assert out[2].n_shared >= 1
+    # short doc (< n words): whole text is one gram
+    short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    srow = ngram_novelty(short, n=13).collect()[0]
+    assert srow.n_grams == 1 and srow.novelty_ppm == 1_000_000
+
+
+def test_vocab_top_tokens(spark):
+    from seatunnel_spark.operators.text import vocab_top_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b z  z")], "doc_id long, text string"
+    )
+    rows = vocab_top_tokens(df, top_n=3).collect()
+    assert [(r.rank, r.token, r.tf) for r in rows] == [
+        (1, "a", 3), (2, "b", 3), (3, "z", 2)  # tie a/b broken by string
+    ]
+
+
+def test_char_diversity(spark):
+    from seatunnel_spark.operators.text import char_diversity
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdefgh"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_diversity(df).collect()}
+    assert out[1].simpson_ppm == 1_000_000  # one char flooded
+    assert out[1].top_char_ppm == 1_000_000
+    assert out[2].simpson_ppm == 0          # all distinct: zero collisions
+    assert out[2].distinct_chars == 8
+    assert out[3].simpson_ppm == 1_000_000  # single-char doc, defined case
+    # exact rational: 'aab' -> collisions 2*1=2 over 3*2=6 -> 333333
+    one = spark.createDataFrame([(4, "aab")], "doc_id long, text string")
+    assert char_diversity(one).collect()[0].simpson_ppm == 333_333
+
+
+def test_stratified_sample(spark):
+    from seatunnel_spark.operators.curation import stratified_sample
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, "source", n_per_stratum=5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append(r)
+    assert len(by["big"]) == 5 and len(by["small"]) == 3  # min(n, |stratum|)
+    assert sorted(r.sample_rank for r in by["big"]) == [1, 2, 3, 4, 5]
+    # deterministic across runs
+    again = stratified_sample(df, "source", n_per_stratum=5).collect()
+    assert sorted((r.doc_id, r.sample_rank) for r in out) == \
+           sorted((r.doc_id, r.sample_rank) for r in again)
