@@ -241,6 +241,21 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
                       extra_conf=extra)
 
+    # GC-mitigation tripwire: a session.py refactor that drops the
+    # ParallelGC + cell-sized-thread config silently reintroduces the
+    # 6-13x post-reboot G1 cliff (BENCH.md "Host regression"). Fail loud
+    # here rather than publish a silently-degraded number.
+    from seatunnel_spark.session import default_gc_opts
+
+    _want = default_gc_opts(os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    _got = spark.conf.get("spark.driver.extraJavaOptions", "")
+    if _want not in _got:
+        raise RuntimeError(
+            f"GC preflight: driver JVM opts {_got!r} missing expected "
+            f"{_want!r} — session.default_gc_opts regression (see BENCH.md)"
+        )
+    log(f"GC preflight ok: {_got}")
+
     cdc = run_cdc_replay(spark)
 
     # Per-query WARMUP (discarded) + 3-run medians (BENCH_QUERY_RUNS to

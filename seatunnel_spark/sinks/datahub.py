@@ -148,3 +148,33 @@ def requests_for_batch(
             )
         )
     return out
+
+
+def foreach_partition_sender(
+    endpoint: str,
+    project: str,
+    topic: str,
+    access_id: str,
+    access_key: str,
+    columns: list[str],
+    date: str,
+    shard_id: str | None = None,
+    chunk_rows: int = 1_000,
+    op_col: str = "op",
+    dry_run_sink=None,
+):
+    """Distributed twin of ``requests_for_batch`` for ``df.foreachPartition``
+    (reference: per-subtask ``DataHubWriter.write`` publishing each arriving
+    row). Pub is append-only: a retried task re-publishes its chunk —
+    at-least-once, the same chunk-level retry semantics documented at the
+    config plugin's retryTimes handling."""
+    from seatunnel_spark.sinks.partition_send import chunked, partition_sender
+
+    def build(rows: list[dict]):
+        for chunk in chunked(rows, chunk_rows):
+            yield put_records_request(
+                endpoint, project, topic, access_id, access_key,
+                pub_body(chunk, columns, shard_id=shard_id), date,
+            )
+
+    return partition_sender(build, columns, op_col=op_col, dry_run_sink=dry_run_sink)

@@ -115,3 +115,36 @@ def requests_for_batch(
         lines = bulk_lines(chunk, index, cols, primary_keys, key_delimiter, op_col)
         reqs.append(bulk_request(host, lines, username, password))
     return reqs
+
+
+def foreach_partition_sender(
+    host: str,
+    index: str,
+    columns: list[str],
+    primary_keys: list[str] | None = None,
+    key_delimiter: str = "_",
+    max_batch_size: int = 10,
+    username: str | None = None,
+    password: str | None = None,
+    op_col: str = "op",
+    dry_run_sink=None,
+):
+    """Distributed twin of ``requests_for_batch`` for ``df.foreachPartition``
+    (reference: per-subtask ``SinkWriter.write`` +
+    ``BulkProcessor``-style flush every max_batch_size). Keyed
+    update/doc_as_upsert + delete actions are idempotent per ``_id``, so a
+    retried task converges to the same documents (at-least-once send,
+    exactly-once effect when primary_keys are set)."""
+    from seatunnel_spark.sinks.partition_send import chunked, partition_sender
+
+    def build(rows: list[dict]):
+        for chunk in chunked(rows, max_batch_size):
+            lines = bulk_lines(
+                chunk, index, columns, primary_keys, key_delimiter, op_col
+            )
+            yield bulk_request(host, lines, username, password)
+
+    # ES routes deletes itself (bulk delete actions), so keep the op column
+    return partition_sender(
+        build, columns, op_col=op_col, keep_op=True, dry_run_sink=dry_run_sink
+    )

@@ -193,3 +193,48 @@ def requests_for_batch(
             )
         )
     return out
+
+
+def foreach_partition_sender(
+    endpoint: str,
+    project: str,
+    table_name: str,
+    access_id: str,
+    access_key: str,
+    columns: list[str],
+    date: str,
+    partition_spec: str | None = None,
+    overwrite: bool = False,
+    split_row: int = 10_000,
+    op_col: str = "op",
+    dry_run_sink=None,
+):
+    """Distributed twin of ``requests_for_batch`` for ``df.foreachPartition``
+    (reference: per-subtask ``MaxcomputeWriter.write`` over one tunnel
+    upload session per subtask). INSERT INTO is append-only, so a retried
+    task duplicates its chunk — the same at-least-once semantics as the
+    reference's tunnel re-upload; route through a staging table + driver
+    INSERT OVERWRITE when exactly-once matters. ``overwrite`` is refused
+    here: truncate-then-append cannot be coordinated from inside parallel
+    partitions (no "first chunk" exists) — use the collected-batch path."""
+    if overwrite:
+        raise ValueError(
+            "overwrite (truncate-then-write) needs single-point coordination; "
+            "use requests_for_batch or stage + INSERT OVERWRITE"
+        )
+    from seatunnel_spark.sinks.partition_send import chunked, partition_sender
+
+    def build(rows: list[dict]):
+        for chunk in chunked(rows, split_row):
+            sql = insert_sql(
+                f"{project}.{table_name}", columns, chunk,
+                partition_spec=partition_spec, overwrite=False,
+            )
+            yield submit_instance_request(
+                endpoint, project, access_id, access_key, instance_xml(sql), date
+            )
+
+    return partition_sender(
+        build, columns, op_col=op_col, drop_kinds=("D", "-U"),
+        dry_run_sink=dry_run_sink,
+    )

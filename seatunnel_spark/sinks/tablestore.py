@@ -304,3 +304,49 @@ def requests_for_batch(
         )
         for i in range(0, len(changes), batch_size)
     ]
+
+
+def foreach_partition_sender(
+    endpoint: str,
+    instance_name: str,
+    access_key_id: str,
+    access_key_secret: str,
+    table: str,
+    primary_keys: list[str],
+    columns: list[str],
+    date: str,
+    batch_size: int = 25,
+    op_col: str = "op",
+    dry_run_sink=None,
+):
+    """Distributed twin of ``requests_for_batch`` for ``df.foreachPartition``
+    (reference: per-subtask ``TablestoreSinkWriter.write`` buffering
+    RowPutChanges). PutRow is a keyed overwrite, so a retried task
+    re-putting the same primary keys converges — at-least-once send,
+    exactly-once row state."""
+    if not primary_keys:
+        raise ValueError("Tablestore sink needs primary_keys")
+    missing = [k for k in primary_keys if k not in columns]
+    if missing:
+        raise ValueError(f"primary_keys {missing} not in columns {columns}")
+    from seatunnel_spark.sinks.partition_send import chunked, partition_sender
+
+    def build(rows: list[dict]):
+        changes = [
+            encode_put_row(
+                [(k, r[k]) for k in primary_keys],
+                [(c, r[c]) for c in columns if c not in primary_keys],
+            )
+            for r in rows
+        ]
+        for i in range(0, len(changes), max(1, batch_size)):
+            yield batch_write_request(
+                endpoint, instance_name, access_key_id, access_key_secret,
+                batch_write_row_body(table, changes[i : i + batch_size]), date,
+            )
+
+    # serializer emits only RowPutChange: D/-U images dropped, like the batch twin
+    return partition_sender(
+        build, columns, op_col=op_col, drop_kinds=("D", "-U"),
+        dry_run_sink=dry_run_sink,
+    )

@@ -103,6 +103,7 @@ class NearDupStore:
         min_band_matches: int = 2,
         max_bucket: int = 64,
         jaccard_threshold: float = 0.2,
+        pair_policy: str = "star",
     ) -> None:
         self.store_dir = store_dir
         self.watermark_s = int(watermark_s)
@@ -110,6 +111,11 @@ class NearDupStore:
         self.min_band_matches = min_band_matches
         self.max_bucket = max_bucket
         self.jaccard_threshold = jaccard_threshold
+        # star = bucket-min→member edges (n−1 per bucket, not C(n,2)):
+        # the same ~n/2 verify-stage cut the batch compaction spine took in
+        # round 5 — cluster membership after label propagation is identical
+        # because every bucket member still connects through the bucket min.
+        self.pair_policy = pair_policy
 
     def _epochs(self) -> list[int]:
         import os
@@ -167,6 +173,7 @@ class NearDupStore:
         pairs = minhash_lsh_pairs(
             batch, id_col, col, self.k, self.bands,
             max_bucket=self.max_bucket, min_band_matches=self.min_band_matches,
+            pair_policy=self.pair_policy,
         )
         verified = ngram_jaccard(batch, pairs, id_col, col).where(
             F.col("jaccard") >= self.jaccard_threshold
