@@ -5,13 +5,15 @@
 ``seatunnel_spark.entry_queries``; every implemented operator from
 SURVEY.md §2 (CDC source/sink semantics, transforms, Zeta functions,
 analytics heads, and the training-data + curation/clustering suites) has
-an entry, and every one of the 74 carries a DuckDB oracle (including the
+an entry, and every one of the 76 carries a DuckDB oracle (including the
 unrolled-iteration k-means replay and the mapInPandas
 media featurizer over its deterministic fake — PNG decode is real
 stdlib code as of round 5; other codecs remain honest container-limit
 stubs). Round 6 closed the last partial §2.1 row (S3 uneven splitter)
-and added gram novelty, vocabulary top-k, char diversity, and
-stratified sampling.
+and added gram novelty, vocabulary top-k, char diversity, stratified
+sampling, a 4-iteration distributed BPE trainer (unrolled-iteration
+oracle), and DSIR-style importance scores (log2-quantized for
+bit-exact replay).
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ _STABLE_TAIL = [
     "t_split", "t_replace", "t_fieldmapper", "t_copy", "t_filterrowkind",
     "t_sql_transform", "t_zeta_sql_string",
     "udf_sha256", "jdbc_split_ranges", "s1_table_discovery",
+    "text_lang_id",
     "q1_pricing_summary", "q3_order_revenue", "q5_revenue_by_nation",
     "s2_chunk_split_even", "s4_sample_sharding", "s7_incremental_start_offset",
 ]

@@ -320,6 +320,29 @@ def main() -> None:
                 f"(vs_linear={ratio}, {n} rows, runs={[round(s,3) for s in samples]})"
             )
 
+        # A/B for the round-5 `weak` flag: the SAME prune with k PINNED at
+        # 8 (the quadratic shape the verdict measured at 13.2x wall for 10x
+        # data) vs the derived-k head timed above — the quadratic->linear
+        # claim measured, not asserted. One timed run: this is the
+        # known-slow arm.
+        if "semdedup_prune" in scaleup:
+            from seatunnel_spark.operators.clustering import semdedup_prune as _sp
+
+            emb = spark.read.parquet(os.path.join(scaled_dir, "embeddings.parquet"))
+            t0 = time.time()
+            n = _sp(emb, k=8, threshold=0.3, n_iters=1, max_cluster=None).count()
+            fixed_sec = round(time.time() - t0, 3)
+            derived = scaleup["semdedup_prune"]["sec"]
+            scaleup["semdedup_prune_fixed_k8"] = {
+                "sec": fixed_sec, "rows": n,
+                "vs_derived_k": round(fixed_sec / derived, 2) if derived else None,
+            }
+            log(
+                f"scaleup x{SCALEUP_FACTOR} semdedup A/B: fixed k=8 {fixed_sec}s "
+                f"vs derived-k {derived}s "
+                f"({scaleup['semdedup_prune_fixed_k8']['vs_derived_k']}x)"
+            )
+
     total = round(sum(q_times.values()) + cdc["wall_s"], 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     # FULL detail (bands, per-run samples, scale-up section, JVM opts) goes

@@ -1312,14 +1312,16 @@ def _run_cdc_streaming_job(spark: SparkSession, config: dict) -> dict[str, dict]
     sources = [b for b in (config.get("source") or [])
                if b.get("plugin") in ("CdcChangelog", "Cdc")]
     sinks = [b for b in (config.get("sink") or [])
-             if b.get("plugin") in ("LakeTable", "MultiLakeTable")]
+             if b.get("plugin") in ("LakeTable", "MultiLakeTable", "Jdbc")]
     if len(sources) != 1 or len(sinks) != 1:
         raise ConfigError(
             "a CDC streaming job needs exactly one CdcChangelog source and "
-            "one LakeTable (or MultiLakeTable) sink"
+            "one LakeTable, MultiLakeTable, or Jdbc sink"
         )
     if sinks[0].get("plugin") == "MultiLakeTable":
         return _run_multi_table_streaming_job(spark, config, sources[0], sinks[0])
+    if sinks[0].get("plugin") == "Jdbc":
+        return _run_cdc_jdbc_streaming_job(spark, config, sources[0], sinks[0])
     if config.get("transform"):
         raise ConfigError(
             "transforms on the CDC path are not supported from config — the "
@@ -1420,6 +1422,83 @@ def _run_cdc_streaming_job(spark: SparkSession, config: dict) -> dict[str, dict]
             "version": table.version,
             "metrics_dir": job.metrics_dir,
             "lineage_dir": job.lineage_dir,
+        }
+    }
+
+
+def _run_cdc_jdbc_streaming_job(
+    spark: SparkSession, config: dict, src: dict, sink: dict
+) -> dict[str, dict]:
+    """CDC changelog → JDBC table with exactly-once epochs, from config —
+    the reference's mysqlcdc_to_mysql.conf scenario (connector-jdbc XA sink;
+    see streaming/jdbc_stream.py for the local-transaction epoch-ledger
+    mapping)::
+
+        source { CdcChangelog { topic_dir = "...", format = "canal-json",
+                                schema { fields { id = bigint, ... } } } }
+        sink   { Jdbc { url = "jdbc:derby:...", table = "TGT",
+                        primary_keys = [id], is_exactly_once = true,
+                        checkpoint_dir = "..." } }
+
+    The target table must already exist with a key constraint (the
+    reference likewise writes into an existing table). DDL events are
+    skipped with a warning — JDBC targets don't evolve mid-stream."""
+    from pyspark.sql import types as T
+
+    from seatunnel_spark.schema import event_schema, sqltype_to_spark
+    from seatunnel_spark.streaming.jdbc_stream import JdbcExactlyOnceStreamSink
+
+    url = sink.get("url")
+    target = sink.get("table")
+    key = sink.get("primary_keys")
+    if not url or not target or not key:
+        raise ConfigError("Jdbc CDC sink needs url, table, and primary_keys")
+    ckpt = sink.get("checkpoint_dir")
+    if not ckpt:
+        raise ConfigError("Jdbc CDC sink needs checkpoint_dir (exactly-once "
+                          "resume point for source offsets)")
+    wire = src.get("format", "parquet-events")
+    mft = int(src.get("max_files_per_trigger", 16))
+    if wire != "parquet-events":
+        from seatunnel_spark.sources.queue import read_changelog_stream
+
+        fields = (src.get("schema") or {}).get("fields") or {}
+        if not fields:
+            raise ConfigError("CdcChangelog with a queue format needs schema.fields")
+        row_schema = T.StructType(
+            [T.StructField(n, sqltype_to_spark(t), True) for n, t in fields.items()]
+        )
+        stream = read_changelog_stream(
+            spark, src["topic_dir"], wire, row_schema, mft
+        )
+        columns = list(fields)
+    else:
+        from seatunnel_spark.schema import REPO_FIELDS
+
+        stream = (
+            spark.readStream.schema(event_schema())
+            .option("maxFilesPerTrigger", mft)
+            .parquet(src["topic_dir"])
+        )
+        columns = [n for n, _ in REPO_FIELDS]
+    js = JdbcExactlyOnceStreamSink(
+        url=url,
+        target=target,
+        key=list(key),
+        dialect=str(sink.get("dialect", "ansi")),
+        columns=columns,
+        staging_column_types=sink.get("staging_column_types"),
+    )
+    js.run_stream(
+        stream, ckpt,
+        timeout_s=float(config.get("env", {}).get("job.timeout.s", 600)),
+    )
+    rows = js._count(spark, target)
+    return {
+        "Jdbc#0": {
+            "written": True,
+            "rows": rows,
+            "epochs": js.epoch_lineage(spark),
         }
     }
 

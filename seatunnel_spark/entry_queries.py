@@ -2627,3 +2627,118 @@ def corpus_sample_stratified(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return stratified_sample(docs, strata_col="source", n_per_stratum=10)
+
+
+def _bpe_sql(n_merges: int = 4, passes: int = 4) -> str:
+    """Unrolled-iteration DuckDB replay of operators/bpe.bpe_train (the
+    k-means-oracle technique applied to BPE): word counts once, then per
+    merge iteration (a) zipped-unnest adjacent pair counts, (b) the
+    deterministic argmax (count desc, pair asc), (c) ``passes`` literal
+    replace passes — the exact fixpoint discipline the Spark side applies,
+    so segmentations stay bit-identical."""
+    ctes = [
+        f"""wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_DW}) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    s1 AS (
+      SELECT n, ' ' || array_to_string(list_filter(string_split(w, ''), c -> c <> ''), ' ')
+             || ' </w> ' AS seg
+      FROM wc)"""
+    ]
+    for i in range(1, n_merges + 1):
+        rep = "seg"
+        for _ in range(passes):
+            rep = f"replace({rep}, mp.p, mp.q)"
+        ctes.append(f"""t{i} AS (SELECT n, string_split(trim(seg), ' ') AS t FROM s{i}),
+    pc{i} AS (
+      SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt
+      FROM (SELECT n, unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r FROM t{i})
+      GROUP BY l, r),
+    m{i} AS (SELECT l, r, cnt FROM pc{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    s{i + 1} AS (
+      SELECT wc.n, {rep} AS seg
+      FROM s{i} wc CROSS JOIN
+        (SELECT ' ' || l || ' ' || r || ' ' AS p, ' ' || l || r || ' ' AS q FROM m{i}) mp)""")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, cnt AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@_reg("text_bpe_merges", _bpe_sql(n_merges=4, passes=4))
+def text_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary training (operators/bpe.bpe_train,
+    Sennrich et al. 2016): 4 merge iterations over the documents corpus.
+    One corpus-scale map-side-combinable (word, count) aggregate; every
+    iteration then runs on the vocabulary-bounded word table — pair counts
+    are a narrow explode + small agg, the merge is `passes` codegen'd
+    LITERAL replaces (runs longer than ~2^passes same-pair adjacencies
+    degrade deterministically — the documented fixpoint bound both engines
+    share). Driver state: 4 merge rows. The DuckDB oracle replays all four
+    iterations unrolled."""
+    from seatunnel_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=4, min_freq=2, passes=4)
+
+
+# DuckDB fragments: word unigrams and bigrams matching curation._ngrams(1|2)
+_DG1 = (
+    f"[array_to_string(list_slice({_DW}, i, i), ' ') "
+    f"FOR i IN range(1, greatest(len({_DW}), 1) + 1)]"
+)
+_DG2 = (
+    f"[array_to_string(list_slice({_DW}, i, i + 1), ' ') "
+    f"FOR i IN range(1, greatest(len({_DW}) - 1, 1) + 1)]"
+)
+
+
+@_reg(
+    "corpus_dsir_scores",
+    f"""
+    WITH tgt AS (
+      SELECT * FROM documents
+      WHERE source = (SELECT min(source) FROM documents)),
+    rawf AS (
+      SELECT {_dh48('g', 'dsir')} % 4096 AS bucket, CAST(count(*) AS BIGINT) AS rc
+      FROM (SELECT unnest(list_concat({_DG1}, {_DG2})) AS g FROM documents)
+      GROUP BY 1),
+    tgtf AS (
+      SELECT {_dh48('g', 'dsir')} % 4096 AS bucket, CAST(count(*) AS BIGINT) AS tc
+      FROM (SELECT unnest(list_concat({_DG1}, {_DG2})) AS g FROM tgt)
+      GROUP BY 1),
+    lr AS (
+      SELECT r.bucket,
+             CAST(length(bin(coalesce(t.tc, 0) + 1)) - length(bin(r.rc + 1))
+                  AS BIGINT) AS lr
+      FROM rawf r LEFT JOIN tgtf t USING (bucket)),
+    docf AS (
+      SELECT doc_id, {_dh48('g', 'dsir')} % 4096 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(list_concat({_DG1}, {_DG2})) AS g FROM documents)
+      GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+           CAST(sum(c * lr) AS BIGINT) AS score
+    FROM docf JOIN lr USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def corpus_dsir_scores(spark, sf_dir):
+    """DSIR-style importance scores (curation.dsir_scores, arXiv:2302.03169):
+    rank every corpus document by hashed unigram+bigram likelihood ratio
+    against a target domain (here: the lexicographically-first source in
+    the fixture — deterministic). Bucket models are 4096-bounded and
+    broadcast; doc features shuffle as digest buckets with counts, never
+    text. The log-ratio is quantized to integer log2 magnitudes
+    (length(bin(c+1))) so the oracle replays bit-exactly — ln() is not
+    correctly-rounded cross-engine; the operator docstring records the
+    divergence from the paper's ln()."""
+    from seatunnel_spark.operators.curation import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    tgt_source = docs.agg(F.min("source")).collect()[0][0]
+    target = docs.where(F.col("source") == F.lit(tgt_source))
+    return dsir_scores(docs, target, n_buckets=4096)

@@ -56,12 +56,72 @@ def _self_dot(col):
     )
 
 
+# Above this k the centroid literals stop being free: the serialized plan
+# (and every task binary) grows linearly with k x dim (measured 5.8 MiB at
+# k=128, dim=64 — fatal at the paper-scale k~50k). _assign_broadcast ships
+# the same centroids as broadcast DATA instead.
+_ASSIGN_LITERAL_MAX_K = 32
+
+
+def _assign_broadcast(
+    q: DataFrame, cents: list[tuple[int, list[int]]], id_col: str
+) -> DataFrame:
+    """Large-k nearest-centroid assignment: the centroid table rides as ONE
+    broadcast row holding an array<struct<cid,cvec,nc>>, crossJoin'd in (a
+    broadcast nested loop — no shuffle, no per-vector join fan-out), and
+    the argmax is the same sort_array-over-scored-structs map as the
+    literal path. Arithmetic is identical expression-for-expression, so
+    assignments are bit-equal to _assign at any k; only the plan size
+    changes (O(1) in k instead of O(k))."""
+    spark = q.sparkSession
+    payload = [
+        {"cid": cid, "cvec": [int(x) for x in cvec],
+         "nc": sum(int(x) * int(x) for x in cvec)}
+        for cid, cvec in cents
+    ]
+    cdf = spark.createDataFrame(
+        [(payload,)],
+        "cents array<struct<cid:int,cvec:array<int>,nc:bigint>>",
+    )
+    nv = _self_dot(F.col("codes"))
+
+    def score(c):
+        dot = F.aggregate(
+            F.zip_with(F.col("codes"), c["cvec"], lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(
+            F.when(
+                (nv > 0) & (c["nc"] > 0),
+                F.round(dot / (F.sqrt(nv) * F.sqrt(c["nc"])), 8),
+            )
+            .otherwise(F.lit(-2.0))
+            .alias("sim"),
+            (-c["cid"]).alias("neg_cid"),
+        )
+
+    best = F.element_at(
+        F.sort_array(F.transform(F.col("cents"), score), asc=False), 1
+    )
+    return q.crossJoin(F.broadcast(cdf)).select(
+        id_col,
+        "codes",
+        (-best["neg_cid"]).cast("int").alias("cluster"),
+        best["sim"].alias("centroid_sim"),
+    )
+
+
 def _assign(q: DataFrame, cents: list[tuple[int, list[int]]], id_col: str) -> DataFrame:
     """Nearest-centroid assignment as a pure map: one struct-array argmax
     with the centroids as array literals (the _cell_ranking discipline —
     no join, no shuffle, plan size linear in k). Zero-norm vectors (and
     zero centroids) score -2, below any cosine, so ties collapse to the
-    smallest centroid id deterministically."""
+    smallest centroid id deterministically. Past _ASSIGN_LITERAL_MAX_K
+    centroids the identical-arithmetic broadcast-data form takes over so
+    plan size stays O(1) in k."""
+    if len(cents) > _ASSIGN_LITERAL_MAX_K:
+        return _assign_broadcast(q, cents, id_col)
     nv = _self_dot(F.col("codes"))
     scored = F.array(
         *[

@@ -417,3 +417,75 @@ def stratified_sample(
         .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("sample_rank") <= int(n_per_stratum))
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance scores (Data Selection via Importance
+    Resampling, arXiv:2302.03169): rank raw-corpus documents by how much
+    their hashed-ngram distribution resembles a TARGET corpus — the
+    quality-domain selection step (e.g. "books+wiki-like") of an LLM data
+    pipeline. Features are word unigrams + bigrams hashed into
+    ``n_buckets`` (the paper's hashed generative bag model); each bucket
+    gets a log-ratio weight between the add-one-smoothed target and raw
+    counts, and a document's score is the feature-weighted sum — its
+    unnormalized log importance weight. Returns (doc_id, n_feats, score);
+    select by (score desc) or score-per-feature as the recipe dictates.
+
+    Cross-engine determinism: the paper's ln() is NOT correctly-rounded
+    IEEE (engines may differ in the last ulp, breaking bit-exact oracles),
+    so the log-ratio is quantized to INTEGER log2 magnitudes —
+    length(bin(c+1)) is floor(log2(c+1))+1, exact string arithmetic in
+    any engine. A power-of-two-coarse importance weight changes ranking
+    only within ~2x likelihood bands, which the paper's own resampling
+    noise dwarfs; swap the lr expression for ln() when bit-exact replay
+    isn't required.
+
+    100 TB shape: the bucket model tables are ``n_buckets``-bounded (the
+    target side is usually tiny anyway) and BROADCAST into the per-doc
+    score join; document features shuffle once as (48-bit digest % B)
+    bucket ids with counts (map-side combinable), never text. One corpus
+    aggregate for the raw model, one for the target, one per-doc rollup."""
+    from seatunnel_spark.operators.dedup_docs import _h48
+
+    def feats(d: DataFrame, with_id: bool):
+        grams = F.concat(_ngrams(col, 1), _ngrams(col, 2))
+        cols = ([F.col(id_col)] if with_id else []) + [
+            F.explode(grams).alias("g")
+        ]
+        e = d.select(*cols)
+        b = F.pmod(_h48(F.col("g"), salt), F.lit(n_buckets)).alias("bucket")
+        if with_id:
+            return e.select(id_col, b).groupBy(id_col, "bucket").agg(
+                F.count(F.lit(1)).cast("bigint").alias("c")
+            )
+        return e.select(b).groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+
+    raw_model = feats(df, False).withColumnRenamed("c", "rc")
+    tgt_model = feats(target, False).withColumnRenamed("c", "tc")
+    # every doc feature lands in a raw-model bucket by construction, so the
+    # raw side anchors the join; absent target buckets smooth to tc=0
+    lr = raw_model.join(tgt_model, "bucket", "left").select(
+        "bucket",
+        (
+            F.length(F.bin(F.coalesce(F.col("tc"), F.lit(0)) + 1))
+            - F.length(F.bin(F.col("rc") + 1))
+        ).cast("bigint").alias("lr"),
+    )
+    doc_feats = feats(df, True)
+    return (
+        doc_feats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lr")).cast("bigint").alias("score"),
+        )
+    )

@@ -54,6 +54,22 @@ class AnsiMergeDialect:
         stmt += f" WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
         return stmt
 
+    def delete_from_staging(
+        self, target: str, staging: str, key: list[str], lightweight: bool = False
+    ) -> str:
+        """Keyed delete of every staged key — the reference's per-row
+        ``DELETE FROM t WHERE k = ?`` (SqlUtils.getDeleteStatement)
+        re-expressed set-based. Correlated EXISTS rather than a row-value
+        IN: Derby (and several MERGE-dialect servers) reject multi-column
+        row constructors in IN predicates. ``lightweight`` is a
+        ClickHouse-ism, ignored here."""
+        qc = self.q
+        cond = " AND ".join(f"s.{qc(k)} = {target}.{qc(k)}" for k in key)
+        return (
+            f"DELETE FROM {target} WHERE EXISTS "
+            f"(SELECT 1 FROM {staging} s WHERE {cond})"
+        )
+
 
 class MySqlDialect(AnsiMergeDialect):
     """INSERT .. ON DUPLICATE KEY UPDATE (MysqlDialect.getUpsertStatement)."""

@@ -127,3 +127,50 @@ def test_bad_params_raise(spark):
         kmeans_quantized(_emb(spark, [(0, [1.0])]), k=0)
     with pytest.raises(ValueError, match="non-empty"):
         kmeans_quantized(_emb(spark, []).where(F.lit(False)), k=2)
+
+
+def test_assign_broadcast_parity_with_literal_path(spark):
+    """Bit-equal assignments from the two physical forms: centroid
+    literals in-plan (small k) vs one broadcast array row (large k) — the
+    arithmetic is expression-identical, only plan size differs."""
+    from seatunnel_spark.operators.clustering import (
+        _assign,
+        _assign_broadcast,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_int8(emb, "vec_id", "embedding").select("vec_id", "codes")
+    init = (
+        q.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    cents = [(i, [int(x) for x in r["codes"]]) for i, r in enumerate(init)]
+    lit = {
+        r["vec_id"]: (r["cluster"], r["centroid_sim"])
+        for r in _assign(q, cents, "vec_id").collect()
+    }
+    bc = {
+        r["vec_id"]: (r["cluster"], r["centroid_sim"])
+        for r in _assign_broadcast(q, cents, "vec_id").collect()
+    }
+    assert lit == bc
+
+
+def test_assign_dispatches_to_broadcast_above_threshold(spark):
+    from seatunnel_spark.operators.clustering import (
+        _ASSIGN_LITERAL_MAX_K,
+        kmeans_quantized,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = _ASSIGN_LITERAL_MAX_K + 4
+    out = kmeans_quantized(emb, k=k, n_iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # broadcast-data path: no k-wide literal array in the plan, one
+    # BroadcastNestedLoopJoin instead
+    assert "BroadcastNestedLoop" in plan
+    n_clusters = out.select("cluster").distinct().count()
+    assert 1 <= n_clusters <= k
+    assert out.count() == emb.count()

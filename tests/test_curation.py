@@ -266,3 +266,47 @@ def test_funnel_kept_equals_corpus_clean(spark):
             for r in QUERIES["corpus_clean_report"](spark, sf).collect()}
     n_clean = QUERIES["corpus_clean"](spark, sf).count()
     assert kept.get("kept", 0) == n_clean
+
+
+def test_dsir_scores_ranks_target_like_docs_higher(spark):
+    """Docs drawn from the target domain's vocabulary must outscore docs
+    from a disjoint vocabulary (score is the log2-quantized likelihood
+    ratio of hashed unigram+bigram features)."""
+    from seatunnel_spark.operators.curation import dsir_scores
+
+    booksy = [
+        "the quiet library held a thousand old stories",
+        "a reader wandered the shelves of old stories",
+        "stories of the library filled a thousand pages",
+    ]
+    webby = [
+        "click here buy now free shipping limited offer",
+        "subscribe login cookie settings accept all offers",
+        "free offer click now buy buy buy",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(booksy + webby)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(booksy)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dsir_scores(docs, target, n_buckets=512).collect()}
+    assert set(out) == set(range(6))
+    # per-feature normalized score separates the domains cleanly
+    book_rates = [out[i]["score"] / out[i]["n_feats"] for i in range(3)]
+    web_rates = [out[i]["score"] / out[i]["n_feats"] for i in range(3, 6)]
+    assert min(book_rates) > max(web_rates)
+
+
+def test_dsir_scores_deterministic_and_total(spark):
+    from seatunnel_spark.operators.curation import dsir_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    tgt = docs.where("doc_id < 3")
+    a = sorted(dsir_scores(docs, tgt).collect())
+    b = sorted(dsir_scores(docs, tgt).collect())
+    assert a == b
+    assert len(a) == 10  # every doc scored (raw model anchors the join)
