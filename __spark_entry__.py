@@ -45,7 +45,7 @@ _STABLE_TAIL = [
     "t_split", "t_replace", "t_fieldmapper", "t_copy", "t_filterrowkind",
     "t_sql_transform", "t_zeta_sql_string",
     "udf_sha256", "jdbc_split_ranges", "s1_table_discovery",
-    "text_lang_id",
+    "text_lang_id", "text_token_count",
     "q1_pricing_summary", "q3_order_revenue", "q5_revenue_by_nation",
     "s2_chunk_split_even", "s4_sample_sharding", "s7_incremental_start_offset",
 ]

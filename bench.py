@@ -177,6 +177,10 @@ SCALEUP_HEADS = [
     "vocab_top_tokens",
     "text_char_diversity",
     "corpus_sample_stratified",
+    # round-6 second wave: BPE trainer/segmenter + DSIR importance scores
+    "text_bpe_merges",
+    "text_bpe_segment",
+    "corpus_dsir_scores",
 ]
 SCALEUP_FACTOR = int(os.environ.get("BENCH_SCALEUP_FACTOR", "10"))
 

@@ -1489,6 +1489,16 @@ def _run_cdc_jdbc_streaming_job(
         columns=columns,
         staging_column_types=sink.get("staging_column_types"),
     )
+    mode = str(src.get("startup.mode", "earliest")).lower()
+    if mode == "initial":
+        if not src.get("base_dir"):
+            raise ConfigError("startup.mode = initial needs base_dir")
+        js.ensure_snapshot(spark.read.parquet(src["base_dir"]).select(*columns))
+    elif mode != "earliest":
+        raise ConfigError(
+            f"startup.mode {mode!r} not supported on the Jdbc CDC sink "
+            "(use earliest or initial; offset modes need the lake path)"
+        )
     js.run_stream(
         stream, ckpt,
         timeout_s=float(config.get("env", {}).get("job.timeout.s", 600)),

@@ -2742,3 +2742,46 @@ def corpus_dsir_scores(spark, sf_dir):
     tgt_source = docs.agg(F.min("source")).collect()[0][0]
     target = docs.where(F.col("source") == F.lit(tgt_source))
     return dsir_scores(docs, target, n_buckets=4096)
+
+
+def _bpe_segment_sql(n_merges: int = 4, passes: int = 4) -> str:
+    """Extends _bpe_sql: after learning the merges, re-segment every
+    document's words with all n_merges merges applied in rank order
+    (passes-bounded literal replaces, the operator's exact fixpoint
+    discipline) and count BPE tokens per doc."""
+    base = _bpe_sql(n_merges, passes)
+    ctes = base[: base.rindex("SELECT CAST(1")].rstrip().rstrip(",")
+    # per-doc segmentation: chain n_merges x passes replaces, each merge's
+    # (p, q) from its m{i} CTE via scalar subqueries
+    seg = "' ' || array_to_string(list_filter(string_split(w, ''), c -> c <> ''), ' ') || ' </w> '"
+    for i in range(1, n_merges + 1):
+        p = f"(SELECT ' ' || l || ' ' || r || ' ' FROM m{i})"
+        q = f"(SELECT ' ' || l || r || ' ' FROM m{i})"
+        for _ in range(passes):
+            seg = f"replace({seg}, {p}, {q})"
+    return f"""{ctes},
+    dw AS (SELECT doc_id, unnest({_DW}) AS w FROM documents),
+    dseg AS (SELECT doc_id, {seg} AS seg FROM dw WHERE w <> '')
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(string_split(trim(seg), ' ')) AS token FROM dseg)
+    GROUP BY doc_id, token
+    """
+
+
+@_reg("text_bpe_segment", _bpe_segment_sql(n_merges=4, passes=4))
+def text_bpe_segment(spark, sf_dir):
+    """BPE tokenization with the corpus-learned merges (operators/bpe
+    bpe_train -> bpe_segment): per-doc (token, count) under the
+    4-iteration vocabulary — train and apply verified together against a
+    DuckDB replay that unrolls the training AND re-applies every merge as
+    the same passes-bounded literal replaces. Apply side is pure
+    expressions (16 chained replaces), zero shuffle before the per-doc
+    count."""
+    from seatunnel_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=4, min_freq=2).orderBy("merge_rank").collect()
+    ]
+    return bpe_segment(docs, merges)

@@ -276,6 +276,21 @@ class JdbcExactlyOnceStreamSink:
             "n_ddl_skipped": n_ddl,
         }
 
+    # ---------------------------------------------------------- snapshot
+    def ensure_snapshot(self, base: DataFrame) -> dict:
+        """Initial bulk load (startup.mode = initial) as ledger epoch -1 —
+        idempotent across restarts like any epoch. The lake path's
+        per-chunk low/high fences exist to avoid double-emitting events a
+        chunk's snapshot already folded; the JDBC path doesn't need them:
+        the target merge is LWW-idempotent, so snapshot THEN full-log
+        replay converges to the same final state regardless of overlap (at
+        the cost of re-applying in-window events — the correctness-first
+        trade the reference's at-least-once XA recovery makes too)."""
+        b = base.withColumn(self.op_col, F.lit("I")).withColumn(
+            self.order_col, F.lit(0).cast("long")
+        )
+        return self.apply_batch(b, -1)
+
     # ------------------------------------------------------------ stream
     def run_stream(
         self,

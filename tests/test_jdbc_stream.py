@@ -232,3 +232,36 @@ def test_config_driven_cdc_to_jdbc(spark, derby_url, tmp_path):
     }
     assert got == expected
     assert result["Jdbc#0"]["rows"] == len(expected)
+
+
+def test_initial_snapshot_then_stream_converges(spark, derby_url, tmp_path):
+    """startup.mode=initial: bulk-load the base as ledger epoch -1, then
+    replay the log — LWW merge convergence makes snapshot/stream overlap
+    harmless (the JDBC path's fence-free snapshot contract). Re-running
+    ensure_snapshot is a ledger no-op."""
+    from seatunnel_spark.streaming.jdbc_stream import JdbcExactlyOnceStreamSink
+
+    _mk_target(spark, derby_url)
+    base = spark.createDataFrame(
+        [(1, "a0", 1.0), (2, "b0", 2.0)], "id long, name string, v double"
+    )
+    log_dir = _write_changelog(spark, str(tmp_path / "log"))
+    js = JdbcExactlyOnceStreamSink(
+        derby_url, "TGT", key=["id"], staging_column_types='name VARCHAR(50)',
+    )
+    snap = js.ensure_snapshot(base)
+    assert snap == {"batch_id": -1, "skipped": False, "n_upserts": 2,
+                    "n_deletes": 0, "n_ddl_skipped": 0}
+    assert js.ensure_snapshot(base) == {"batch_id": -1, "skipped": True}
+
+    stream = (
+        spark.readStream.schema("seq long, op string, id long, name string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir)
+    )
+    js.run_stream(stream, str(tmp_path / "ckpt"))
+    # log events overwrite the base images; base-only keys would survive
+    assert _read_tgt(spark, derby_url) == {
+        1: ("a", 1.0), 2: ("B", 20.0), 3: ("c2", 33.0), 4: ("D4", 40.0),
+    }
+    assert [e["batch_id"] for e in js.epoch_lineage(spark)][0] == -1
