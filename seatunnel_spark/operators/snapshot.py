@@ -101,7 +101,15 @@ def run_snapshot_phase(
     )
 
     in_window = (
+        # the per-bucket fence predicate keys on a COMPUTED bucket column,
+        # which no scanner can push down — without the coarse conjunct the
+        # snapshot would decode the ENTIRE log to keep ~fence/total of it.
+        # `seq < max_fence` is a conservative superset of every bucket's
+        # window and pushes to parquet row-group stats (the log is
+        # seq-ordered), so the snapshot reads only the log head; the exact
+        # per-bucket cut still applies behind it.
         events.where(F.col("op") != OP_DDL)
+        .where(F.col("seq") < F.lit(max_fence).cast("long"))
         .withColumn("bucket", table.bucket_expr())
         .where(F.col("seq") < fence_map_expr(fences)[F.col("bucket")])
         .drop("bucket")

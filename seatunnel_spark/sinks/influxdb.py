@@ -127,3 +127,40 @@ def requests_for_batch(
                       username, password, retention_policy)
         for i in range(0, max(len(lines), 1), batch_size)
     ]
+
+
+def foreach_partition_sender(
+    url: str,
+    database: str,
+    measurement: str,
+    columns: list[str],
+    key_tags: list[str] | None = None,
+    key_time: str | None = None,
+    batch_size: int = 1024,
+    username: str | None = None,
+    password: str | None = None,
+    retention_policy: str | None = None,
+    op_col: str = "op",
+    dry_run_sink=None,
+):
+    """Distributed twin of ``requests_for_batch`` for ``df.foreachPartition``
+    (reference: per-subtask ``InfluxDBSinkWriter.write`` batching points).
+    Points are (measurement, tags, time)-keyed upserts in InfluxDB, so a
+    retried task re-writing the same points converges — at-least-once
+    send, idempotent effect when key_time is set (without a time column
+    each write stamps server-side time: then replays duplicate, same as
+    the reference writer)."""
+    from seatunnel_spark.sinks.partition_send import chunked, partition_sender
+
+    def build(rows: list[dict]):
+        lines = line_protocol(rows, columns, measurement, key_tags, key_time)
+        for i in range(0, len(lines), max(1, batch_size)):
+            yield write_request(
+                url, database, lines[i : i + batch_size],
+                username, password, retention_policy,
+            )
+
+    return partition_sender(
+        build, columns, op_col=op_col, drop_kinds=("D", "-U"),
+        dry_run_sink=dry_run_sink,
+    )

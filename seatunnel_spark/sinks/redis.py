@@ -103,3 +103,47 @@ def execute_commands(
     if errs:
         raise RuntimeError(f"redis replied with errors: {errs[:3]}")
     return replies
+
+
+def foreach_partition_sender(
+    host: str,
+    port: int,
+    key_field: str,
+    columns: list[str],
+    data_type: str = "key",
+    expire: int = -1,
+    auth: str | None = None,
+    user: str | None = None,
+    op_col: str = "op",
+    dry_run_sink=None,
+):
+    """Distributed twin of ``batch_commands`` + ``execute_commands`` for
+    ``df.foreachPartition`` (reference: per-subtask ``RedisSinkWriter.write``
+    issuing one command per row on its own Jedis connection). Each
+    partition pipelines its rows over ONE socket. SET/HSET are keyed
+    overwrites (replay converges); LPUSH/SADD/ZADD replays duplicate
+    members exactly like the reference's re-sent writes —
+    at-least-once, documented per data_type.
+
+    ``dry_run_sink`` receives the command lists instead of opening a
+    socket (request-shape tests)."""
+    from seatunnel_spark.sinks.partition_send import partition_sender
+
+    class _Pipeline:
+        def __init__(self, cmds: list[list[str]]):
+            self.cmds = cmds
+
+        def execute(self):
+            execute_commands(host, port, self.cmds, auth=auth, user=user)
+
+    def build(rows: list[dict]):
+        cmds: list[list[str]] = []
+        for r in rows:
+            cmds.extend(row_commands(r, columns, key_field, data_type, expire))
+        if cmds:
+            yield _Pipeline(cmds)
+
+    return partition_sender(
+        build, columns, op_col=op_col, drop_kinds=("D", "-U"),
+        dry_run_sink=dry_run_sink,
+    )

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -346,6 +347,16 @@ class CdcIngestJob:
     # ------------------------------------------------------- foreachBatch
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         t0 = time.time()
+        _prof = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+
+        def _mark(label: str, since: float) -> float:
+            now = time.time()
+            if _prof:
+                print(f"PROF b{batch_id} {label}: {now - since:.3f}s",
+                      file=sys.stderr, flush=True)
+            return now
+
+        _t = t0
         table = LakeTable.load(self.table_root)
         fences = {int(b): int(w) for b, w in table.meta["properties"].get("fences", {}).items()}
         if getattr(self, "_start_seq", None) is not None:
@@ -387,6 +398,7 @@ class CdcIngestJob:
             )
             .collect()
         )
+        _t = _mark("metadata_pass", _t)
         ddls = sorted(
             (d["seq"], d["ddl"])
             for r in meta_rows
@@ -441,6 +453,7 @@ class CdcIngestJob:
                 )
                 any_applied = any_applied or applied
 
+        _t = _mark("merge_segments", _t)
         # A fully-replayed batch (every sub-epoch already in the ledger) must
         # not duplicate lineage/metrics rows or double-count events_applied —
         # the exactly-once contract covers the side tables too.
@@ -490,6 +503,7 @@ class CdcIngestJob:
             fetch_delay_ms=fetch_delay_ms,
             emit_delay_ms=emit_delay_ms,
         )
+        _mark("side_tables", _t)
 
     # ------------------------------------------------------------ metrics views
     def metrics_compat(self) -> DataFrame:

@@ -132,3 +132,29 @@ def test_restart_from_checkpoint_no_double_apply(spark, tmp_path, fixture_data):
     metrics = spark.read.parquet(job.metrics_dir)
     assert metrics.where(F.col("phase") == "snapshot").count() >= 1
     assert n is not None and n > 0
+
+
+def test_snapshot_window_scan_pushes_seq_bound(spark, tmp_path, fixture_data):
+    """The snapshot's in-window event filter keys on a computed bucket
+    column (never pushable); the coarse `seq < max_fence` conjunct must
+    reach the parquet scan so a 100 TB log is row-group-pruned to its head
+    instead of fully decoded. Pins the optimized plan, not just results."""
+    from seatunnel_spark.operators.snapshot import fence_map_expr
+    from seatunnel_spark.schema import OP_DDL
+
+    events = spark.read.schema(event_schema()).parquet(
+        fixture_data["paths"]["events"]
+    )
+    table = LakeTable.create(
+        str(tmp_path / "t"), REPO_FIELDS, REPO_KEY, 8
+    )
+    fences = {b: 60 for b in range(8)}
+    in_window = (
+        events.where(F.col("op") != OP_DDL)
+        .where(F.col("seq") < F.lit(60).cast("long"))
+        .withColumn("bucket", table.bucket_expr())
+        .where(F.col("seq") < fence_map_expr(fences)[F.col("bucket")])
+        .drop("bucket")
+    )
+    plan = in_window._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(seq,60)" in plan, plan[:2000]

@@ -139,3 +139,35 @@ def test_empty_partition_sends_nothing(spark):
     )
     send(iter([]))
     assert seen == []
+
+
+def test_influxdb_partition_sender_lines(spark, cdc_df):
+    from seatunnel_spark.sinks.influxdb import foreach_partition_sender
+
+    seen = []
+    send = foreach_partition_sender(
+        "http://influx:8086", "db", "m", ["pk_id", "name"],
+        key_tags=["pk_id"], batch_size=2, dry_run_sink=seen.append,
+    )
+    _drive(cdc_df, send)
+    lines = [ln for r in seen for ln in r.body.splitlines() if ln]
+    # D/-U dropped: 3 surviving rows -> 3 points, tagged by pk
+    assert len(lines) == 3
+    assert all(ln.startswith("m,pk_id=") for ln in lines)
+    assert all("/write?db=db" in r.url for r in seen)
+
+
+def test_redis_partition_sender_pipelines(spark, cdc_df):
+    from seatunnel_spark.sinks.redis import foreach_partition_sender
+
+    seen = []
+    send = foreach_partition_sender(
+        "localhost", 6379, "pk_id", ["pk_id", "name"],
+        data_type="hash", expire=60, dry_run_sink=seen.append,
+    )
+    _drive(cdc_df, send)
+    cmds = [c for p in seen for c in p.cmds]
+    hsets = [c for c in cmds if c[0] == "HSET"]
+    expires = [c for c in cmds if c[0] == "EXPIRE"]
+    assert {c[1] for c in hsets} == {"1", "2", "5"}  # D/-U dropped
+    assert len(expires) == 3 and all(c[2] == "60" for c in expires)

@@ -29,7 +29,7 @@ def kill_stray_spark() -> None:
 
 
 def run_once(cores: int, events: int, fixture: str, workdir: str, mem: str,
-             tmpfs: bool, files_per_trigger: int = 4) -> dict:
+             tmpfs: bool, files_per_trigger: int = 8) -> dict:
     kill_stray_spark()
     shutil.rmtree(workdir, ignore_errors=True)
     spark_submit = shutil.which("spark-submit") or str(
@@ -82,7 +82,7 @@ def main() -> None:
     ap.add_argument("--base", type=int, default=500000)
     ap.add_argument("--mem", default="24g")
     ap.add_argument("--tmpfs", action="store_true", default=True)
-    ap.add_argument("--files-per-trigger", type=int, default=4)
+    ap.add_argument("--files-per-trigger", type=int, default=8)
     args = ap.parse_args()
 
     from seatunnel_spark.sources import generator as gen
