@@ -48,6 +48,10 @@ _STABLE_TAIL = [
     "text_lang_id", "text_token_count",
     "q1_pricing_summary", "q3_order_revenue", "q5_revenue_by_nation",
     "s2_chunk_split_even", "s4_sample_sharding", "s7_incremental_start_offset",
+    # rotated out for the round-6 additions (driver-green in r5, thin
+    # wrappers over code unchanged since):
+    "text_quality_score", "text_fingerprint", "text_pii_redact",
+    "ann_lsh_buckets", "ann_lsh_pairs",
 ]
 
 

@@ -2785,3 +2785,200 @@ def text_bpe_segment(spark, sf_dir):
         for r in bpe_train(docs, n_merges=4, min_freq=2).orderBy("merge_rank").collect()
     ]
     return bpe_segment(docs, merges)
+
+
+# =====================================================================
+# Round-6 additions: bigram-LM scoring, lateness audit, cosine range
+# search, DDL-offset segmentation, domain mix report
+# =====================================================================
+
+@_reg(
+    "text_bigram_surprise",
+    f"""
+    WITH pairs AS (
+      SELECT doc_id, {_dh48('g', 'blm')} AS hg,
+             {_dh48("string_split(g, ' ')[1]", 'blm-p')} AS hp
+      FROM (SELECT doc_id, unnest({_DG2}) AS g FROM documents)),
+    bg AS (SELECT hg, hp, CAST(count(*) AS BIGINT) AS bc FROM pairs GROUP BY 1, 2),
+    pf AS (SELECT hp, CAST(sum(bc) AS BIGINT) AS pc FROM bg GROUP BY 1),
+    model AS (
+      SELECT hg, bg.hp,
+             CAST(length(bin(pc + 1)) - length(bin(bc + 1)) AS BIGINT) AS bits
+      FROM bg JOIN pf USING (hp))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bits) AS BIGINT) AS sum_bits,
+           CAST((sum(bits) * 100) // count(*) AS BIGINT) AS mean_centibits
+    FROM pairs JOIN model USING (hg, hp)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_surprise(spark, sf_dir):
+    """Bigram-LM fluency scoring (text.bigram_surprise): CCNet's
+    perplexity filter with the likelihood quantized to integer log2
+    surprise bits (length(bin(c+1)) — ln() is not correctly-rounded
+    cross-engine). One corpus bigram aggregate serves as both the bigram
+    and (re-aggregated) prefix model; tokens shuffle only as 48-bit
+    digests."""
+    from seatunnel_spark.operators.text import bigram_surprise
+
+    return bigram_surprise(_t(spark, sf_dir, "documents"))
+
+
+@_reg(
+    "stream_late_events",
+    """
+    WITH flagged AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             max(epoch_us(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN wm IS NOT NULL AND us < wm - 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST((sum(CASE WHEN wm IS NOT NULL AND us < wm - 3600000000
+                          THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+             AS late_ppm
+    FROM flagged GROUP BY event_type
+    """,
+)
+def stream_late_events(spark, sf_dir):
+    """Watermark lateness audit (operators/lateness.late_events): replay
+    Spark's EventTimeWatermark fence over the persisted log as a batch
+    query — watermark at arrival i = max event time before i (by
+    event_id arrival order), late = event time behind fence - 1h. The
+    operator's two-phase distributed prefix-max (chunk maxima -> tiny
+    cross-chunk window -> in-chunk windows) must agree with the oracle's
+    single sequential window exactly."""
+    from seatunnel_spark.operators.lateness import late_events
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = late_events(ev, "event_id", "ts", delay_s=3600, chunk_span=10_000)
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("is_late").cast("int")).cast("bigint").alias("n_late"),
+        F.expr(
+            "CAST((sum(CAST(is_late AS INT)) * 1000000) div count(*) AS BIGINT)"
+        ).alias("late_ppm"),
+    )
+
+
+@_reg(
+    "ann_range_search",
+    """
+    SELECT q.vec_id AS query_id, c.vec_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 8) AS cos_sim
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 3
+      AND round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 8) >= 0.15
+    """,
+)
+def ann_range_search(spark, sf_dir):
+    """Cosine range query (similarity.range_search): all corpus vectors
+    within the radius of each query — map-only (broadcast queries, no
+    shuffle, no ranking state), the recall-sweep companion to top-k."""
+    from seatunnel_spark.operators.similarity import range_search
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return range_search(emb, emb.where(F.col("vec_id") < 3), threshold=0.15)
+
+
+@_reg(
+    "s9_ddl_segments",
+    """
+    WITH marks AS (
+      SELECT event_id FROM events WHERE event_id % 5000 = 0),
+    seg AS (
+      SELECT e.event_id, e.value,
+             (SELECT count(*) FROM marks m WHERE m.event_id < e.event_id)
+               AS segment_id
+      FROM events e WHERE e.event_id % 5000 != 0)
+    SELECT segment_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(event_id) AS BIGINT) AS seq_min,
+           CAST(max(event_id) AS BIGINT) AS seq_max
+    FROM seg GROUP BY segment_id
+    """,
+)
+def s9_ddl_segments(spark, sf_dir):
+    """Schema-change stream splitting as a batch-checkable head (SURVEY
+    S9, streaming/job.py:402-454): events between DDL offsets form
+    half-open segments (prev, next] — a DML with seq EQUAL to a DDL's seq
+    applies BEFORE that DDL, exactly the engine's bounds arithmetic.
+    Marker rows stand in for DDLs (every 5000th event_id). The marker set
+    is aggregated to ONE sorted array row and broadcast — segment id =
+    markers strictly below my seq — mirroring how the engine's metadata
+    pass collects DDL offsets without a second scan."""
+    ev = _t(spark, sf_dir, "events")
+    is_mark = F.pmod(F.col("event_id"), F.lit(5000)) == 0
+    marks = ev.where(is_mark).agg(
+        F.sort_array(F.collect_list("event_id")).alias("marks")
+    )
+    return (
+        ev.where(~is_mark)
+        .crossJoin(F.broadcast(marks))
+        .select(
+            F.col("event_id"),
+            F.size(
+                F.filter(F.col("marks"), lambda m: m < F.col("event_id"))
+            ).cast("bigint").alias("segment_id"),
+        )
+        .groupBy("segment_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("event_id").cast("bigint").alias("seq_min"),
+            F.max("event_id").cast("bigint").alias("seq_max"),
+        )
+    )
+
+
+@_reg(
+    "corpus_domain_stats",
+    """
+    WITH pertok AS (
+      SELECT source, len(list_filter(string_split(regexp_replace(lower(trim(text)),
+               '\\s+', ' ', 'g'), ' '), t -> t <> '')) AS n_toks
+      FROM documents),
+    tot AS (SELECT sum(n_toks) AS tt, count(*) AS td FROM pertok)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST((sum(n_toks) * 1000000) // max(tt) AS BIGINT) AS token_share_ppm,
+           CAST((count(*) * 1000000) // max(td) AS BIGINT) AS doc_share_ppm
+    FROM pertok, tot GROUP BY source
+    """,
+)
+def corpus_domain_stats(spark, sf_dir):
+    """Domain mix report — the measurement half of temperature mixing
+    (curation.domain_mix_sample consumes exactly these shares): per-source
+    doc and token counts with integer-ppm shares of the corpus. One
+    map-side-combinable aggregate; the corpus totals are a broadcast
+    scalar."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            ),
+            lambda t: t != "",
+        )
+    )
+    per = docs.select("source", toks.cast("bigint").alias("n_toks"))
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    tot = agg.agg(
+        F.sum("n_tokens").alias("tt"), F.sum("n_docs").alias("td")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST((n_tokens * 1000000) div tt AS BIGINT)").alias(
+            "token_share_ppm"
+        ),
+        F.expr("CAST((n_docs * 1000000) div td AS BIGINT)").alias(
+            "doc_share_ppm"
+        ),
+    )

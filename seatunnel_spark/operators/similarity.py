@@ -405,3 +405,36 @@ def quantized_topk(
             "rank",
         )
     )
+
+
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine RANGE query: every corpus vector within ``threshold`` of each
+    query (the radius-neighbor companion to brute_force_topk — retrieval
+    recall sweeps and near-dup audits ask "everything this similar", not
+    "the k best"). Returns (query_id, vec_id, cos_sim).
+
+    100 TB shape: identical to brute_force_topk's — the query side is
+    broadcast, the corpus is scanned exactly once map-only (no shuffle at
+    all: unlike top-k there is no per-query ranking state, the threshold
+    is a pure filter), so it pipelines with the parquet scan and scales
+    linearly with corpus bytes."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("qv"), F.col("cv")), 8).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(float(threshold)))
+    )

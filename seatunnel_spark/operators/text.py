@@ -498,3 +498,62 @@ def char_diversity(
             ),
         )
     )
+
+
+def bigram_surprise(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Bigram-LM fluency proxy in exact integer space — the CCNet-style
+    "perplexity under a corpus LM" filter without the float log: every
+    bigram's conditional likelihood P(w2|w1) = bigram_count/prefix_count
+    is quantized to integer SURPRISE BITS floor-log2-style,
+    ``length(bin(prefix+1)) - length(bin(bigram+1))``, exact string
+    arithmetic on any engine (same quantization as curation.dsir_scores;
+    swap in ln() when bit-exact replay isn't required). High mean bits =
+    improbable word transitions (garbled text, word salad); near-zero =
+    boilerplate whose every transition the corpus has memorized — the two
+    tails CCNet's head/tail buckets cut. Returns (doc_id, n_bigrams,
+    sum_bits, mean_centibits) with mean_centibits = (sum*100) div n.
+
+    100 TB shape: ONE corpus bigram aggregate keyed on 48-bit digests
+    (map-side combinable) serves as both models — the prefix model is a
+    re-aggregation of the bigram model on the prefix digest, so text
+    tokenizes exactly once and only (digest, count) rows ever shuffle.
+    Doc scoring is two digest-keyed joins + a doc-keyed rollup; no
+    broadcast needed (the models scale with vocabulary, not corpus)."""
+    from seatunnel_spark.operators.curation import _ngrams
+    from seatunnel_spark.operators.dedup_docs import _h48
+
+    pairs = df.select(
+        F.col(id_col), F.explode(_ngrams(col, 2)).alias("g")
+    ).select(
+        id_col,
+        _h48(F.col("g"), "blm").alias("hg"),
+        _h48(F.substring_index(F.col("g"), " ", 1), "blm-p").alias("hp"),
+    )
+    # one aggregate carries both digests; the prefix model re-aggregates it
+    bg = pairs.groupBy("hg", "hp").agg(F.count("*").alias("bc"))
+    pf = bg.groupBy("hp").agg(F.sum("bc").alias("pc"))
+    model = bg.join(pf, "hp").select(
+        "hg",
+        "hp",
+        (F.length(F.bin(F.col("pc") + 1)) - F.length(F.bin(F.col("bc") + 1)))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    return (
+        pairs.join(model, ["hg", "hp"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("bits").cast("bigint").alias("sum_bits"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_bits",
+            F.expr("CAST((sum_bits * 100) div n_bigrams AS BIGINT)").alias(
+                "mean_centibits"
+            ),
+        )
+    )

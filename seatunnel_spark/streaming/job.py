@@ -344,6 +344,49 @@ class CdcIngestJob:
             return q
         return writer.start()
 
+    # ------------------------------------------------- sequential segments
+    def _apply_segments(
+        self, table, dml_base, ddls, bounds, batch_lo, batch_hi, batch_id
+    ) -> bool:
+        """DDL-offset sub-transactions, strictly in stream order — the
+        fallback when the batch's DDL sequence makes whole-batch projection
+        seq-dependent (drop + re-add of one column name; see _apply_batch).
+        Segments are half-open intervals (prev_ddl_seq, next_ddl_seq]: a DML
+        event with seq EQUAL to a DDL's seq applies before that DDL. The
+        native log has unique seqs so equality never happens there; queue
+        paths order by timestamp (canal ts / mongo clusterTime) where a row
+        and an ALTER can share a tick — strict bounds on both sides would
+        silently drop such rows from every segment."""
+        any_applied = False
+        for i in range(len(ddls) + 1):
+            seg = dml_base
+            seg_lo, seg_hi = batch_lo, batch_hi
+            if bounds[i] is not None:
+                seg = seg.where(F.col("seq") > bounds[i])
+                seg_lo = max(batch_lo, bounds[i] + 1) if batch_lo is not None else None
+            if bounds[i + 1] is not None:
+                seg = seg.where(F.col("seq") <= bounds[i + 1])
+                seg_hi = min(batch_hi, bounds[i + 1]) if batch_hi is not None else None
+            res = merge_into(
+                self.spark, table, project_to_table_schema(table, seg),
+                epoch_id=f"b{batch_id}.s{i}",
+                collect_stats=False,
+                extra_summary={"seq_min": seg_lo, "seq_max": seg_hi},
+            )
+            any_applied = any_applied or not res.get("skipped")
+            if i < len(ddls):
+                s, payload = ddls[i]
+                # epoch id carries the segment index too: on the queue paths
+                # seq is timestamp-derived, so two DDLs can share a seq — a
+                # seq-only id would treat the second as already applied.
+                # ddls is deterministically sorted by (seq, payload) so the
+                # index is stable across replays.
+                applied = table.update_schema(
+                    parse_change(payload), epoch_id=f"b{batch_id}.d{s}.{i}"
+                )
+                any_applied = any_applied or applied
+        return any_applied
+
     # ------------------------------------------------------- foreachBatch
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         t0 = time.time()
@@ -425,33 +468,55 @@ class CdcIngestJob:
         bounds = [None] + [s for s, _ in ddls] + [None]
         dml_base = batch.where(~is_ddl).where(fence_ok)
         any_applied = False  # epoch guard: replayed batches must not re-append
-        for i in range(len(ddls) + 1):
-            seg = dml_base
-            seg_lo, seg_hi = batch_lo, batch_hi
-            if bounds[i] is not None:
-                seg = seg.where(F.col("seq") > bounds[i])
-                seg_lo = max(batch_lo, bounds[i] + 1) if batch_lo is not None else None
-            if bounds[i + 1] is not None:
-                seg = seg.where(F.col("seq") <= bounds[i + 1])
-                seg_hi = min(batch_hi, bounds[i + 1]) if batch_hi is not None else None
-            res = merge_into(
-                self.spark, table, project_to_table_schema(table, seg),
-                epoch_id=f"b{batch_id}.s{i}",
-                collect_stats=False,
-                extra_summary={"seq_min": seg_lo, "seq_max": seg_hi},
-            )
-            any_applied = any_applied or not res.get("skipped")
-            if i < len(ddls):
-                s, payload = ddls[i]
-                # epoch id carries the segment index too: on the queue paths
-                # seq is timestamp-derived, so two DDLs can share a seq — a
-                # seq-only id would treat the second as already applied.
-                # ddls is deterministically sorted by (seq, payload) so the
-                # index is stable across replays.
+
+        # --- fused DDL+merge fast path: projection binds by COLUMN ID via
+        # wire_bindings (the wire schema never changes — project_to_table_
+        # schema), so projecting the WHOLE batch onto the post-DDL final
+        # schema is row-for-row identical to per-segment projection:
+        #   add_column  — pre-DDL events lack the wire field -> NULL either
+        #                 way (well-formed streams emit a field only after
+        #                 its DDL, the same contract a real binlog enforces);
+        #   rename      — id binding unchanged, same wire field read;
+        #   widen_type  — lossless cast either way;
+        #   drop_column — absent from the final schema either way;
+        # and global LWW by seq == sequential segment merges (a later
+        # segment's winner overrides an earlier one exactly as max-seq
+        # does). Schema updates are metadata-only, so applying them FIRST
+        # and then ONE merge of the whole batch commits the identical final
+        # state with O(1) merge jobs per batch instead of O(#DDLs) — at 4
+        # cores each extra segment job cost ~5s of non-parallelizing
+        # plan/schedule/commit time (PROF in BENCH.md round 6).
+        # The ONE sequence where projection IS seq-dependent: dropping a
+        # column and re-adding the same name in the same batch re-binds
+        # that wire name to a fresh column id, so pre-drop events would
+        # leak their old values into the new column. Detect it and fall
+        # back to the sequential segment path.
+        ddl_changes = [parse_change(p) for _, p in ddls]
+        dropped: set[str] = set()
+        fusable = True
+        for ch in ddl_changes:
+            for c in ch.changes if ch.kind == "batch" else (ch,):
+                if c.kind == "drop_column":
+                    dropped.add(c.name)
+                elif c.kind == "add_column" and c.name in dropped:
+                    fusable = False
+        if fusable:
+            for i, (s, _) in enumerate(ddls):
                 applied = table.update_schema(
-                    parse_change(payload), epoch_id=f"b{batch_id}.d{s}.{i}"
+                    ddl_changes[i], epoch_id=f"b{batch_id}.d{s}.{i}"
                 )
                 any_applied = any_applied or applied
+            res = merge_into(
+                self.spark, table, project_to_table_schema(table, dml_base),
+                epoch_id=f"b{batch_id}.s0",
+                collect_stats=False,
+                extra_summary={"seq_min": batch_lo, "seq_max": batch_hi},
+            )
+            any_applied = any_applied or not res.get("skipped")
+        else:
+            any_applied = self._apply_segments(
+                table, dml_base, ddls, bounds, batch_lo, batch_hi, batch_id
+            )
 
         _t = _mark("merge_segments", _t)
         # A fully-replayed batch (every sub-epoch already in the ledger) must

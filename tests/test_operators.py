@@ -698,3 +698,106 @@ def test_stratified_sample(spark):
     again = stratified_sample(df, "source", n_per_stratum=5).collect()
     assert sorted((r.doc_id, r.sample_rank) for r in out) == \
            sorted((r.doc_id, r.sample_rank) for r in again)
+
+
+def test_late_events_two_phase_matches_sequential_window(spark):
+    """The distributed prefix-max (chunk maxima -> cross-chunk fence ->
+    in-chunk window) must equal the naive single sequential window for
+    every chunking, including spans that split mid-run and span=huge
+    (single chunk)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from seatunnel_spark.operators.lateness import late_events
+
+    base = dt.datetime(2024, 1, 1)
+    # arrival order 0..N with deliberately late event times sprinkled in
+    rows = []
+    t = 0
+    for i in range(200):
+        t += (i * 7) % 13  # advancing, uneven
+        ts = base + dt.timedelta(seconds=t - (5000 if i % 17 == 0 and i > 0 else 0))
+        rows.append((i, ts))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = df.select(
+        "event_id",
+        F.max(us).over(w).alias("wm"),
+        us.alias("_us"),
+    ).select(
+        "event_id",
+        F.when(F.col("wm").isNull(), F.lit(False))
+        .otherwise(F.col("_us") < F.col("wm") - 3600 * 1_000_000)
+        .alias("is_late"),
+    )
+    expect = {r["event_id"]: r["is_late"] for r in naive.collect()}
+    assert any(expect.values()) and not all(expect.values())
+
+    for span in (7, 64, 10_000):
+        got = {
+            r["event_id"]: r["is_late"]
+            for r in late_events(df, "event_id", "ts", 3600, span).collect()
+        }
+        assert got == expect, f"span={span}"
+
+
+def test_bigram_surprise_matches_python_replay(spark):
+    """Integer surprise bits agree with an independent pure-Python replay
+    of the same quantization (len(bin(prefix+1)) - len(bin(bigram+1)))."""
+    from collections import Counter
+
+    from seatunnel_spark.operators.text import bigram_surprise
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the cat"),
+        (3, "colorless green ideas sleep furiously"),
+        (4, "one"),  # single word -> one unigram 'bigram'
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def grams(s):
+        ws = s.lower().split()
+        return [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)] or [ws[0]]
+
+    bg = Counter(g for _, s in docs for g in grams(s))
+    pf = Counter()
+    for g, c in bg.items():
+        pf[g.split(" ")[0]] += c
+    expect = {}
+    for d, s in docs:
+        bits = [
+            len(bin(pf[g.split(" ")[0]] + 1)[2:]) - len(bin(bg[g] + 1)[2:])
+            for g in grams(s)
+        ]
+        expect[d] = (len(bits), sum(bits), (sum(bits) * 100) // len(bits))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_bits"], r["mean_centibits"])
+        for r in bigram_surprise(df).collect()
+    }
+    assert got == expect
+
+
+def test_range_search_is_threshold_filter_of_exact_scores(spark):
+    from seatunnel_spark.operators.similarity import brute_force_topk, range_search
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.5, 0.5, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") == 0)
+    got = {(r["query_id"], r["vec_id"]) for r in range_search(df, q, 0.7).collect()}
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(df, q, k=10).collect()
+        if r["cos_sim"] >= 0.7
+    }
+    assert got == exact and (0, 1) in got and (0, 4) not in got

@@ -461,3 +461,47 @@ def test_index_ddl_through_canal_stream_is_noop(spark, tmp_path):
     assert got == {"a.py": "v2"}
     # schema unchanged: no spurious version bump from the no-op DDL
     assert [f["name"] for f in t.schema_fields()] == [n for n, _ in REPO_FIELDS]
+
+
+def test_drop_readd_same_column_takes_sequential_path(spark, tmp_path):
+    """The fused DDL+merge fast path (job._apply_batch) projects the whole
+    batch onto the post-DDL final schema — row-identical to sequential
+    segment merges for every DDL sequence EXCEPT drop+re-add of one column
+    name, which re-binds that wire name to a fresh column id. That batch
+    must fall back to stream-order segment merges: a key whose last event
+    precedes the drop must show NULL in the re-added column (its old value
+    died with the dropped column id), never a leaked resurrection."""
+    import os
+
+    from seatunnel_spark.schema import OP_DDL  # noqa: F401 (parity import)
+
+    fields = REPO_FIELDS + [("stars", "int")]
+    root = str(tmp_path / "t")
+    t = LakeTable.create(root, fields, REPO_KEY, num_buckets=2)
+    assert "stars" in [f["name"] for f in t.schema_fields()]
+
+    drop = SchemaChange(kind="drop_column", name="stars").to_json()
+    readd = SchemaChange(kind="add_column", name="stars", type="bigint").to_json()
+    rows = [
+        # a.py's LAST event precedes the drop and carries stars=7
+        (1, 0, "I", "o/r", "a.py", "c0", "py", "v0", None,
+         json.dumps({"stars": "7"})),
+        (2, 0, "DDL", None, None, None, None, None, drop, None),
+        (3, 1, "DDL", None, None, None, None, None, readd, None),
+        (4, 1, "I", "o/r", "b.py", "c1", "py", "v1", None,
+         json.dumps({"stars": "9"})),
+    ]
+    ev = pd.DataFrame(rows, columns=["seq", "txn_id", "op", "repo", "path",
+                                     "commit", "lang", "content", "ddl", "extra"])
+    ev["ts"] = pd.Timestamp(gen.EPOCH0) + pd.to_timedelta(ev["seq"], unit="s")
+    events_dir = str(tmp_path / "ev")
+    os.makedirs(events_dir)
+    spark.createDataFrame(ev, event_schema()).coalesce(1).write.parquet(
+        events_dir, mode="overwrite")
+    job = CdcIngestJob(spark, root, events_dir, str(tmp_path / "c"), num_buckets=2)
+    job.run_incremental(available_now=True, timeout_s=300)
+
+    got = {r["path"]: r for r in LakeTable.load(root).scan(spark).collect()}
+    # pre-drop value must NOT resurrect into the re-added (new-id) column
+    assert got["a.py"]["stars"] is None
+    assert got["b.py"]["stars"] == 9

@@ -75,6 +75,35 @@ def main() -> None:
     base_df = spark.read.parquet(base_path)
     events_df = spark.read.schema(event_schema()).parquet(events_dir)
 
+    # Disclosed warmup (BENCH.md "warmup" section): the FIRST Spark action of
+    # a fresh JVM pays whole-stage-codegen compilation, JIT, shuffle service
+    # init, and Arrow/pandas Python-worker spin-up — a constant that a
+    # 10^10-event replay amortizes to zero but that a minutes-long bench
+    # sample books entirely against the snapshot cell (measured: it alone
+    # pushed the snapshot phase's pair efficiency to 0.58 while incremental
+    # held 0.82). One tiny data-free action per pool warms all three paths;
+    # it touches NOTHING of the fixture (no page-cache advantage): a
+    # hash-agg + shuffle through codegen, and a pandas_udf to fork the
+    # per-core Python workers (1 worker at local[1], 4 at local[4] — the
+    # warmed resource scales with the cell, as on a real cluster).
+    import pandas as pd  # noqa: F401 — resolved by the hint eval below
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: no `pd.Series` type hints — this module has
+    # `from __future__ import annotations`, which stringifies hints, and
+    # pyspark evaluates them in the function's globals where a
+    # function-local import is invisible. The decorator argument alone
+    # fixes the eval type when paired with the explicit iterator-free
+    # signature below.
+    def _wu_fn(v):
+        return v
+
+    _wu_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _wu = pandas_udf(_wu_fn, "long")
+
+    wu = spark.range(0, 200_000, 1, cores).withColumn("k", F.col("id") % 64)
+    wu.groupBy("k").agg(F.sum(_wu(F.col("id")))).collect()
+
     t0 = time.time()
     job.ensure_snapshot(base_df, events_df, REPO_FIELDS, REPO_KEY, max_fence=args.events // 20)
     snap_s = time.time() - t0
