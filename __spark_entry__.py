@@ -5,7 +5,7 @@
 ``seatunnel_spark.entry_queries``; every implemented operator from
 SURVEY.md §2 (CDC source/sink semantics, transforms, Zeta functions,
 analytics heads, and the training-data + curation/clustering suites) has
-an entry, and every one of the 76 carries a DuckDB oracle (including the
+an entry, and every one of the 82 carries a DuckDB oracle (including the
 unrolled-iteration k-means replay and the mapInPandas
 media featurizer over its deterministic fake — PNG decode is real
 stdlib code as of round 5; other codecs remain honest container-limit
@@ -13,7 +13,10 @@ stubs). Round 6 closed the last partial §2.1 row (S3 uneven splitter)
 and added gram novelty, vocabulary top-k, char diversity, stratified
 sampling, a 4-iteration distributed BPE trainer (unrolled-iteration
 oracle), and DSIR-style importance scores (log2-quantized for
-bit-exact replay).
+bit-exact replay), then bigram-LM surprise scoring, the watermark
+lateness audit (distributed prefix-max vs a sequential-window oracle),
+cosine range search, DDL-offset segmentation (S9) as an oracle head,
+and the per-source domain mix report.
 """
 
 from __future__ import annotations

@@ -112,6 +112,8 @@ def merge_into(
     properties_update: dict | None = None,
     compact_threshold: int = COMPACT_THRESHOLD,
     collect_stats: bool = True,
+    broadcast_winners: bool = False,
+    pre_reduced: bool = False,
 ) -> dict:
     """Apply a change batch as one atomic delta commit (+ compaction when a
     bucket's file stack is deep). ``batch`` columns: current table schema
@@ -159,9 +161,27 @@ def merge_into(
     # join exchange + write repartition); the winners aggregate ships only
     # narrow (key, seq, hash) bytes, partially combined map-side.
     pre_partitioned = table.meta.get("bucket_fn") == "murmur3"
-    reduced = lww_reduce(
-        batch, key, bucket_partitions=table.num_buckets if pre_partitioned else None
-    ).withColumnRenamed("op", "_op").withColumnRenamed("seq", "_seq")
+    if pre_reduced:
+        # caller CONTRACT: batch already has exactly one row per key (the
+        # snapshot's fold — base is a consistent key-unique scan, window
+        # winners are LWW-reduced and base keys they cover anti-joined
+        # away). Wide rows go straight to the bucketed exchange: no winner
+        # aggregate, no semi-join, no wide distinct.
+        reduced = (
+            batch.repartition(table.num_buckets, *key)
+            if pre_partitioned
+            else batch
+        ).withColumnRenamed("op", "_op").withColumnRenamed("seq", "_seq")
+    else:
+        # broadcast_winners (caller-gated on batch size): the narrow winner
+        # set broadcasts and the LWW filter runs MAP-SIDE, so the one wide
+        # exchange carries only winning rows — a churn-heavy batch shuffles
+        # its distinct keys, not its raw volume. See lww_reduce's docstring.
+        reduced = lww_reduce(
+            batch, key,
+            bucket_partitions=table.num_buckets if pre_partitioned else None,
+            broadcast_winners=broadcast_winners,
+        ).withColumnRenamed("op", "_op").withColumnRenamed("seq", "_seq")
 
     _mk("plan_build")
     new_files = _write_bucketed(

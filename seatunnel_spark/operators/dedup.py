@@ -47,6 +47,7 @@ def lww_reduce(
     order_col: str = "seq",
     strategy: str = "auto",
     bucket_partitions: int | None = None,
+    broadcast_winners: bool = False,
 ) -> DataFrame:
     """One row per key: the one with the max ``order_col`` (LWW).
 
@@ -82,6 +83,16 @@ def lww_reduce(
     semi-join, the distinct, and the downstream bucketed file write all
     reuse the probe side's one exchange: wide payload bytes cross the wire
     exactly once per batch.
+
+    ``broadcast_winners``: with it, the narrow winners table (key + order +
+    tie-break hash, one row per distinct key in the batch) is BROADCAST and
+    the semi-join filters the wide probe MAP-SIDE, before its exchange — so
+    only winning wide rows cross the wire (a change batch with heavy
+    per-key churn shuffles its winner set, not its raw volume). Winners are
+    batch-bounded, not table-bounded, so the caller must gate on batch size
+    (the streaming job's metadata pass knows the batch's event count before
+    any merge; CdcIngestJob.broadcast_winners_max_events) — an unbounded
+    broadcast is a driver OOM at cluster scale.
     """
     if strategy == "auto":
         strategy = "semi_join" if "content" in df.columns else "max_by"
@@ -91,6 +102,11 @@ def lww_reduce(
     payload = [c for c in df.columns if c not in key and c != order_col]
     if not payload:  # (key, order) ties are full-row duplicates
         winners = df.groupBy(*key).agg(F.max(order_col).alias(order_col))
+        if broadcast_winners:
+            kept = df.join(F.broadcast(winners), [*key, order_col], "leftsemi")
+            if bucket_partitions:
+                kept = kept.repartition(bucket_partitions, *key)
+            return kept.distinct()
         probe = df.repartition(bucket_partitions, *key) if bucket_partitions else df
         return probe.join(winners.hint("shuffle_hash"), [*key, order_col], "leftsemi").distinct()
     tagged = df.withColumn("_tb", F.xxhash64(*payload))
@@ -99,6 +115,12 @@ def lww_reduce(
         .agg(F.max(F.struct(F.col(order_col), F.col("_tb"))).alias("_w"))
         .select(*key, F.col(f"_w.{order_col}").alias(order_col), F.col("_w._tb").alias("_tb"))
     )
+    if broadcast_winners:
+        # map-side filter first: only winning wide rows reach the exchange
+        kept = tagged.join(F.broadcast(winners), [*key, order_col, "_tb"], "leftsemi")
+        if bucket_partitions:
+            kept = kept.repartition(bucket_partitions, *key)
+        return kept.distinct().drop("_tb")
     probe = tagged.repartition(bucket_partitions, *key) if bucket_partitions else tagged
     return (
         probe.join(winners.hint("shuffle_hash"), [*key, order_col, "_tb"], "leftsemi")

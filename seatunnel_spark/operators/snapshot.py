@@ -115,10 +115,26 @@ def run_snapshot_phase(
         .drop("bucket")
     )
     from seatunnel_spark.streaming.job import project_to_table_schema  # cycle-free
+    from seatunnel_spark.operators.dedup import lww_reduce
 
     window_rows = project_to_table_schema(table, in_window)
 
-    batch = base_rows.unionByName(window_rows)
+    # The reference folds in-window events into each chunk's buffer by key
+    # (rewriteOutputBuffer:80-117). Spark realization: LWW-reduce only the
+    # (small) window slice, then anti-join the base scan against a
+    # BROADCAST of the window's keys — base is a consistent snapshot and
+    # therefore key-unique already, so its wide rows stream MAP-SIDE
+    # through the anti-join straight into the bucketed write exchange:
+    # no winner aggregate, no semi-join, no wide distinct ever touches
+    # them (measured: the previous base ∪ window LWW plan spent its time
+    # hashing 1M wide rows that were unique by construction). Window
+    # winners keep their op so deletes persist as tombstones.
+    key = table.key
+    win = lww_reduce(window_rows, key, "seq")
+    base_clean = base_rows.join(
+        F.broadcast(win.select(*key)), key, "left_anti"
+    )
+    batch = base_clean.unionByName(win)
     fences_prop = {"fences": {str(b): int(w) for b, w in fences.items()}}
 
     if chunk_groups <= 1:
@@ -126,6 +142,7 @@ def run_snapshot_phase(
             spark, table, batch, epoch_id,
             extra_summary={"phase": "snapshot", "fences_max": max_fence},
             properties_update=fences_prop,
+            pre_reduced=True,
         )
 
     groups = [
@@ -140,6 +157,7 @@ def run_snapshot_phase(
             spark, table, g_batch, g_epoch,
             extra_summary={"phase": "snapshot", "group": g, "fences_max": max_fence},
             properties_update=fences_prop,
+            pre_reduced=True,
         )
         stats["groups"] += 1
         stats["skipped_groups"] += 1 if res.get("skipped") else 0

@@ -80,7 +80,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 32m (not the 128m default): scan splits can only parallelize at
+        # row-group boundaries, and a local cell's worth of cores must fan
+        # out over single-file tables (the CDC base snapshot measured 1-2
+        # scan tasks wide at 128m regardless of core count). At cluster
+        # scale with many files per table the figure is soft — AQE
+        # coalesces the excess.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         # max_by/min_by (LWW reduce) are ObjectHashAggregate; the default
         # 128-key sort fallback makes the reduce SORT full payload rows —
         # measured 6x slower and anti-scaling on wide string rows. Budget:

@@ -237,13 +237,21 @@ def write_fixture(
     """
     os.makedirs(outdir, exist_ok=True)
     marker = os.path.join(outdir, "_FIXTURE")
-    stamp = f"v2|{n_base}|{n_events}|{seed}|{n_event_files}|{with_ddl}"
+    stamp = f"v3|{n_base}|{n_events}|{seed}|{n_event_files}|{with_ddl}"
     base_path = os.path.join(outdir, "base.parquet")
     events_dir = os.path.join(outdir, "events")
     if os.path.exists(marker) and open(marker).read() == stamp:
         return {"base": base_path, "events": events_dir}
     base = gen_base(n_base, seed)
-    base.to_parquet(base_path, index=False)
+    # bounded row groups: a single-row-group base file is a degenerate
+    # input no real snapshot source presents — one task would have to
+    # decode the WHOLE base table (a 1M-row base measured ~12s serial in
+    # the snapshot cell at every core count). The reference's snapshot
+    # phase chunk-splits the table (SnapshotSplitAssigner); row groups are
+    # parquet's chunk boundary, so cap them at 64k rows and let Spark's
+    # maxPartitionBytes do the splitting.
+    base_tbl = pa.Table.from_pandas(base, preserve_index=False)
+    pq.write_table(base_tbl, base_path, row_group_size=65536)
     events = gen_events(n_events, n_base, seed, with_ddl=with_ddl)
     os.makedirs(events_dir, exist_ok=True)
     for old in os.listdir(events_dir):
@@ -268,7 +276,14 @@ def write_fixture(
     for f in range(n_event_files):
         chunk = events.iloc[bounds[f] : bounds[f + 1]]
         tbl = pa.Table.from_pandas(chunk, schema=ev_schema, preserve_index=False)
-        pq.write_table(tbl, os.path.join(events_dir, f"chunk-{f:05d}.parquet"))
+        # same bounded-row-group discipline as the base file: byte-range
+        # splits can only parallelize at row-group boundaries, and seq-range
+        # predicates (DDL segment bounds, the snapshot's seq < max_fence)
+        # prune at row-group granularity
+        pq.write_table(
+            tbl, os.path.join(events_dir, f"chunk-{f:05d}.parquet"),
+            row_group_size=65536,
+        )
     with open(marker, "w") as fh:
         fh.write(stamp)
     return {"base": base_path, "events": events_dir}

@@ -146,6 +146,7 @@ class CdcIngestJob:
         wire_format: str = "parquet-events",
         wire_row_schema=None,
         broker: dict | None = None,
+        broadcast_winners_max_events: int = 250_000,
     ):
         """``wire_format``: 'parquet-events' (the native typed log) or a
         queue value format — 'debezium-json' / 'canal-json' — in which case
@@ -163,6 +164,16 @@ class CdcIngestJob:
         self.max_files_per_trigger = max_files_per_trigger
         self.total_events = total_events
         self.exactly_once = exactly_once
+        # gate for lww_reduce(broadcast_winners=...): a batch at or under
+        # this many events broadcasts its narrow winner set so the wide
+        # exchange carries only winning rows; above it (or 0 to disable)
+        # the winners stay on the shuffled path — winners are batch-bounded
+        # and an unbounded broadcast is a driver/executor OOM at scale.
+        # Default is deliberately small: measured at ~1M winners/batch the
+        # blocking broadcast materialization COSTS more than the shuffle it
+        # saves (4-core 8M-event replay: 99s vs 81s) — the win case is
+        # high-churn/few-keys batches where winners << events.
+        self.broadcast_winners_max_events = broadcast_winners_max_events
         self.wire_format = wire_format
         self.wire_row_schema = wire_row_schema
         self.broker = broker
@@ -346,7 +357,8 @@ class CdcIngestJob:
 
     # ------------------------------------------------- sequential segments
     def _apply_segments(
-        self, table, dml_base, ddls, bounds, batch_lo, batch_hi, batch_id
+        self, table, dml_base, ddls, bounds, batch_lo, batch_hi, batch_id,
+        broadcast_winners: bool = False,
     ) -> bool:
         """DDL-offset sub-transactions, strictly in stream order — the
         fallback when the batch's DDL sequence makes whole-batch projection
@@ -372,6 +384,7 @@ class CdcIngestJob:
                 epoch_id=f"b{batch_id}.s{i}",
                 collect_stats=False,
                 extra_summary={"seq_min": seg_lo, "seq_max": seg_hi},
+                broadcast_winners=broadcast_winners,
             )
             any_applied = any_applied or not res.get("skipped")
             if i < len(ddls):
@@ -500,6 +513,10 @@ class CdcIngestJob:
                     dropped.add(c.name)
                 elif c.kind == "add_column" and c.name in dropped:
                     fusable = False
+        # the metadata pass already counted the batch: gate the winner
+        # broadcast on its exact event count (see __init__ docstring)
+        n_batch_events = int(sum(r["n_events"] for r in meta_rows))
+        bw = 0 < n_batch_events <= self.broadcast_winners_max_events
         if fusable:
             for i, (s, _) in enumerate(ddls):
                 applied = table.update_schema(
@@ -511,11 +528,13 @@ class CdcIngestJob:
                 epoch_id=f"b{batch_id}.s0",
                 collect_stats=False,
                 extra_summary={"seq_min": batch_lo, "seq_max": batch_hi},
+                broadcast_winners=bw,
             )
             any_applied = any_applied or not res.get("skipped")
         else:
             any_applied = self._apply_segments(
-                table, dml_base, ddls, bounds, batch_lo, batch_hi, batch_id
+                table, dml_base, ddls, bounds, batch_lo, batch_hi, batch_id,
+                broadcast_winners=bw,
             )
 
         _t = _mark("merge_segments", _t)

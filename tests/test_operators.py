@@ -801,3 +801,26 @@ def test_range_search_is_threshold_filter_of_exact_scores(spark):
         if r["cos_sim"] >= 0.7
     }
     assert got == exact and (0, 1) in got and (0, 4) not in got
+
+
+def test_lww_reduce_broadcast_winners_parity(spark):
+    """broadcast_winners moves the LWW filter map-side; results (including
+    deterministic tie-breaks and byte-dup collapse) must be identical to
+    the shuffled semi-join path, with and without bucket pre-partitioning."""
+    rows = [
+        ("k1", 1, "a"), ("k1", 3, "c"), ("k1", 2, "b"),
+        ("k2", 5, "x"), ("k2", 5, "y"),        # tie on order -> hash break
+        ("k3", 7, "z"), ("k3", 7, "z"),        # byte-identical duplicates
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, content string")
+    for bp in (None, 4):
+        a = sorted(
+            lww_reduce(df, ["k"], "seq", strategy="semi_join",
+                       bucket_partitions=bp).collect()
+        )
+        b = sorted(
+            lww_reduce(df, ["k"], "seq", strategy="semi_join",
+                       bucket_partitions=bp, broadcast_winners=True).collect()
+        )
+        assert a == b
+        assert len(b) == 3 and {r["k"] for r in b} == {"k1", "k2", "k3"}

@@ -45,6 +45,11 @@ def main() -> None:
         # reusable by the LWW semi-join (keys = key + order + tiebreak) and
         # the bucketed write — same conf as session.get_spark
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # scan splits sized so the 1M-row base table and each event chunk
+        # fan out across the cell's cores (fixture row groups are 64k rows
+        # ≈ 12 MB; the default 128m would leave the base scan 1-2 tasks
+        # wide no matter the core count)
+        .config("spark.sql.files.maxPartitionBytes", "32m")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
