@@ -505,3 +505,43 @@ def test_drop_readd_same_column_takes_sequential_path(spark, tmp_path):
     # pre-drop value must NOT resurrect into the re-added (new-id) column
     assert got["a.py"]["stars"] is None
     assert got["b.py"]["stars"] == 9
+
+
+def test_fused_path_one_merge_epoch_per_batch(spark, tmp_path):
+    """A DDL-ful batch (no drop+re-add) must take the FUSED path: exactly
+    one data epoch (b0.s0) in the ledger — never b0.s1/b0.s2 — plus one
+    epoch per DDL. Pins the O(1)-merge-jobs-per-batch contract."""
+    import os
+
+    root = str(tmp_path / "t")
+    LakeTable.create(root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    add = SchemaChange(kind="add_column", name="stars", type="int").to_json()
+    ren = SchemaChange(kind="rename_column", old_name="commit",
+                       name="commit_sha").to_json()
+    rows = [
+        (0, 0, "I", "o/r1", "a.py", "c0", "py", "v0", None, None),
+        (1, 0, "DDL", None, None, None, None, None, add, None),
+        (2, 1, "U", "o/r1", "a.py", "c1", "py", "v1", None,
+         json.dumps({"stars": "5"})),
+        (3, 1, "DDL", None, None, None, None, None, ren, None),
+        (4, 2, "I", "o/r2", "b.py", "c2", "py", "v2", None,
+         json.dumps({"stars": "9"})),
+    ]
+    ev = pd.DataFrame(rows, columns=["seq", "txn_id", "op", "repo", "path",
+                                     "commit", "lang", "content", "ddl", "extra"])
+    ev["ts"] = pd.Timestamp(gen.EPOCH0) + pd.to_timedelta(ev["seq"], unit="s")
+    events_dir = str(tmp_path / "ev")
+    os.makedirs(events_dir)
+    spark.createDataFrame(ev, event_schema()).coalesce(1).write.parquet(
+        events_dir, mode="overwrite")
+    job = CdcIngestJob(spark, root, events_dir, str(tmp_path / "c"), num_buckets=2)
+    job.run_incremental(available_now=True, timeout_s=300)
+
+    t = LakeTable.load(root)
+    data_epochs = [e for e in t.meta["epochs"] if ".s" in e and not e.endswith(".compact")]
+    assert data_epochs == ["b0.s0"], data_epochs
+    ddl_epochs = sorted(e for e in t.meta["epochs"] if ".d" in e)
+    assert len(ddl_epochs) == 2, ddl_epochs
+    got = {r["path"]: r for r in t.scan(spark).collect()}
+    assert got["a.py"]["stars"] == 5 and got["a.py"]["commit_sha"] == "c1"
+    assert got["b.py"]["stars"] == 9
