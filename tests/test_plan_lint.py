@@ -80,7 +80,10 @@ def test_engine_foreachbatch_plans_lint_clean(spark, tmp_path, monkeypatch):
                         REPO_FIELDS, REPO_KEY, max_fence=40)
     job.run_incremental(available_now=True, timeout_s=300)
     assert LakeTable.load(os.path.join(work, "table")).scan(spark).count() > 0
-    assert len(captured) >= 5  # metadata passes + stage writes + side tables
+    # round 6 fused the DDL segments into ONE merge per batch, so the
+    # engine now runs exactly: first-DDL probe + snapshot write + per-batch
+    # (metadata collect + merge write) — 4 actions for this 1-batch drive
+    assert len(captured) >= 4  # ddl probe + snapshot + metadata + merge
 
     offenders = {}
     for i, (tag, plan) in enumerate(captured):
