@@ -3,11 +3,13 @@
 The Spark-side plumbing is real — schema, partition-preserving mapInPandas,
 Arrow batch shape, deterministic fake featurizer — and PNG images have a
 REAL pure-stdlib decoder (zlib inflate + per-scanline unfilter incl.
-Paeth, ``decode_png``), so the non-fake featurize path runs end-to-end on
-PNG payloads. Other codecs (jpeg/audio/video) stay honestly stubbed: the
-decode seam raises NotImplementedError for them (no PIL/ffmpeg in this
-container); ``fake=True`` substitutes a deterministic md5-seeded feature
-vector so every pipeline remains testable and oracle-checkable.
+Paeth, ``decode_png``), and audio has a REAL RIFF/WAVE PCM decoder
+(chunk walk, 8/16-bit, channel mixdown, ``decode_wav``) — the non-fake
+featurize path runs end-to-end on PNG and WAV payloads. Compressed codecs
+(jpeg/mp3/video) stay honestly stubbed: the decode seam raises
+NotImplementedError for them (no PIL/ffmpeg in this container);
+``fake=True`` substitutes a deterministic md5-seeded feature vector so
+every pipeline remains testable and oracle-checkable.
 
 Pattern: `mapInPandas` (not per-row UDFs) so each Arrow batch is processed
 as one numpy block; at scale the batch size knob is
@@ -181,6 +183,105 @@ def image_features(img: np.ndarray) -> np.ndarray:
     return f
 
 
+WAV_RIFF = b"RIFF"
+WAV_WAVE = b"WAVE"
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Real RIFF/WAVE PCM decoder, pure stdlib byte parsing (the audio twin
+    of decode_png): walks the chunk list, reads the ``fmt `` chunk
+    (PCM format 1 only — compressed codecs are where ffmpeg would run and
+    stay honestly stubbed), decodes 8-bit unsigned / 16-bit signed
+    little-endian samples, mixes channels to mono by mean. Returns
+    (float32 samples in [-1, 1], sample_rate). Malformed or truncated
+    containers raise ValueError loudly — never a silent zero-signal."""
+    import struct
+
+    if len(data) < 12 or data[:4] != WAV_RIFF or data[8:12] != WAV_WAVE:
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)} < {size}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"WAVE format {audio_fmt} (non-PCM) requires ffmpeg — not in this container"
+        )
+    if n_ch < 1 or rate < 1:
+        raise ValueError(f"invalid fmt: channels={n_ch} rate={rate}")
+    if bits == 16:
+        x = np.frombuffer(raw[: len(raw) - (len(raw) % (2 * n_ch))], dtype="<i2")
+        x = x.astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = np.frombuffer(raw[: len(raw) - (len(raw) % n_ch)], dtype=np.uint8)
+        x = (x.astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported (8/16 only)")
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """Decoded audio → FEATURE_DIM floats: duration (log-scaled), rms,
+    peak, zero-crossing rate, DC offset, and an 11-band coarse spectrum
+    (rfft magnitude split into equal bands, each normalized) — the cheap
+    stats an audio curation pipeline filters on (silence, clipping,
+    bandwidth)."""
+    f = np.zeros(FEATURE_DIM, dtype=np.float32)
+    n = len(samples)
+    if n == 0:
+        return f
+    f[0] = min(1.0, np.log1p(n / float(rate)) / 8.0)
+    f[1] = float(np.sqrt(np.mean(samples**2)))
+    f[2] = float(np.abs(samples).max())
+    f[3] = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8))))) if n > 1 else 0.0
+    f[4] = float(np.clip(samples.mean() * 0.5 + 0.5, 0.0, 1.0))
+    mag = np.abs(np.fft.rfft(samples))
+    tot = float(mag.sum()) or 1.0
+    for i, band in enumerate(np.array_split(mag, 11)):
+        f[5 + i] = float(band.sum()) / tot
+    return f
+
+
+def synthesize_wav(
+    freq_hz: float = 440.0, n_samples: int = 8000, rate: int = 8000,
+    n_channels: int = 1, bits: int = 16,
+) -> bytes:
+    """Deterministic real WAV bytes (test/fixture helper): a sine at
+    ``freq_hz`` through the genuine RIFF/fmt/data layout."""
+    import struct
+
+    t = np.arange(n_samples, dtype=np.float64) / rate
+    x = np.sin(2 * np.pi * freq_hz * t)
+    if bits == 16:
+        pcm = np.round(x * 32767).astype("<i2")
+        frame = np.repeat(pcm, n_channels).tobytes()
+    elif bits == 8:
+        pcm = np.round(x * 127 + 128).astype(np.uint8)
+        frame = np.repeat(pcm, n_channels).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block = n_channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_channels, rate, rate * block, block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frame)) + frame
+    return WAV_RIFF + struct.pack("<I", 4 + len(body)) + WAV_WAVE + body
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches, vectorized).
 
@@ -200,10 +301,13 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     def one_real(p: bytes | None):
         if p is None:
             return None
-        if bytes(p[:8]) == PNG_SIGNATURE:
-            return image_features(decode_png(bytes(p))).tolist()
+        b = bytes(p)
+        if b[:8] == PNG_SIGNATURE:
+            return image_features(decode_png(b)).tolist()
+        if b[:4] == WAV_RIFF and b[8:12] == WAV_WAVE:
+            return audio_features(*decode_wav(b)).tolist()
         raise NotImplementedError(
-            "real decode beyond PNG requires PIL/ffmpeg — not in this container"
+            "real decode beyond PNG/WAV-PCM requires PIL/ffmpeg — not in this container"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
