@@ -835,6 +835,9 @@ def udf_sha256(spark, sf_dir):
     .replace("{CD}", "sum(CAST(round(l_discount * 100, 0) AS BIGINT))"),
 )
 def q1_pricing_summary(spark, sf_dir):
+    """One scan + one keyed aggregate; the decimal partial agg runs map-side
+    in the scan, so no repartition helps (A/B'd in round 7: spreading the
+    single-file local scan shuffles 600k rows for less than it saves)."""
     li = _t(spark, sf_dir, "lineitem")
     cnt = F.count("*")
 

@@ -69,7 +69,9 @@ def decontaminate(
         .select(_h48(F.col("g"), "contam").alias("gh"))
         .distinct()
     )
-    doc_grams = docs.select(
+    from seatunnel_spark.operators.spread import spread_small_input
+
+    doc_grams = spread_small_input(docs).select(
         F.col(id_col),
         F.explode(F.array_distinct(_ngrams(col, n))).alias("g"),
     ).select(id_col, _h48(F.col("g"), "contam").alias("gh"))
@@ -453,13 +455,14 @@ def dsir_scores(
     bucket ids with counts (map-side combinable), never text. One corpus
     aggregate for the raw model, one for the target, one per-doc rollup."""
     from seatunnel_spark.operators.dedup_docs import _h48
+    from seatunnel_spark.operators.spread import spread_small_input
 
     def feats(d: DataFrame, with_id: bool):
         grams = F.concat(_ngrams(col, 1), _ngrams(col, 2))
         cols = ([F.col(id_col)] if with_id else []) + [
             F.explode(grams).alias("g")
         ]
-        e = d.select(*cols)
+        e = spread_small_input(d).select(*cols)
         b = F.pmod(_h48(F.col("g"), salt), F.lit(n_buckets)).alias("bucket")
         if with_id:
             return e.select(id_col, b).groupBy(id_col, "bucket").agg(

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from seatunnel_spark.operators.spread import spread_small_input
+
 # tiny deterministic stopword lists per language for the n-gram heuristic
 _LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in"],
@@ -121,7 +123,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", col: str = "text") -
     document text itself never re-shuffles. Returns one row per document:
     (doc_id, n_words, dup_word_frac, dup_2gram_frac, top_word_frac)."""
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), " ")
-    base = df.select(F.col(id_col), words.alias("w"))
+    base = spread_small_input(df).select(F.col(id_col), words.alias("w"))
     grams = base.select(
         id_col,
         F.col("w"),
@@ -221,7 +223,8 @@ def line_dedup_stats(
     from seatunnel_spark.operators.dedup_docs import _h48
 
     lines = (
-        df.select(F.col(id_col), F.explode(F.split(F.col(col), "\n")).alias("ln"))
+        spread_small_input(df)
+        .select(F.col(id_col), F.explode(F.split(F.col(col), "\n")).alias("ln"))
         .select(id_col, F.trim(F.col("ln")).alias("ln"))
         .where(F.col("ln") != "")
         .select(id_col, _h48(F.col("ln"), "line").alias("lh"))
@@ -271,7 +274,7 @@ def token_rarity(
     from seatunnel_spark.operators.dedup_docs import _h48
 
     toks = (
-        df.select(
+        spread_small_input(df).select(
             F.col(id_col),
             F.explode(
                 F.split(
@@ -350,7 +353,7 @@ def repeated_spans(
         F.sequence(F.lit(0), F.floor(n / stride).cast("int")),
         lambda i: i * stride + 1,
     )
-    spans = df.select(
+    spans = spread_small_input(df).select(
         F.col(id_col),
         F.explode(
             F.transform(starts, lambda s: F.substring(norm, s, window))
@@ -400,7 +403,7 @@ def ngram_novelty(
     from seatunnel_spark.operators.curation import _ngrams
     from seatunnel_spark.operators.dedup_docs import _h48
 
-    grams = df.select(
+    grams = spread_small_input(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_ngrams(col, n))).alias("g"),
     ).select(id_col, _h48(F.col("g"), "novel").alias("gh"))
@@ -441,7 +444,7 @@ def vocab_top_tokens(
     single partition, which is exactly k rows by then."""
     from pyspark.sql import Window
 
-    toks = df.select(
+    toks = spread_small_input(df).select(
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), " ")
         ).alias("token")
@@ -472,7 +475,7 @@ def char_diversity(
     |alphabet| rows per doc per partition shuffle; the per-doc rollup
     reuses the same doc-keyed partitioning."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
-    chars = df.select(
+    chars = spread_small_input(df).select(
         F.col(id_col), F.explode(F.split(norm, "")).alias("ch")
     ).where(F.col("ch") != "")
     hist = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
@@ -524,7 +527,7 @@ def bigram_surprise(
     from seatunnel_spark.operators.curation import _ngrams
     from seatunnel_spark.operators.dedup_docs import _h48
 
-    pairs = df.select(
+    pairs = spread_small_input(df).select(
         F.col(id_col), F.explode(_ngrams(col, 2)).alias("g")
     ).select(
         id_col,
