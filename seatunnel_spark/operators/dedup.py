@@ -115,15 +115,22 @@ def lww_reduce(
         .agg(F.max(F.struct(F.col(order_col), F.col("_tb"))).alias("_w"))
         .select(*key, F.col(f"_w.{order_col}").alias(order_col), F.col("_w._tb").alias("_tb"))
     )
+    # Post-semi-join duplicates agree on (key, order, _tb) and are therefore
+    # byte-identical (xxhash64 over the full payload): collapse them by the
+    # NARROW columns only. distinct() grouped by every column — hashing the
+    # full payload (KBs of content per row) a second time for keys the
+    # tie-break hash already summarizes. Same one-exchange property (the
+    # grouping keys are a superset of the repartition key).
+    dd_cols = [*key, order_col, "_tb"]
     if broadcast_winners:
         # map-side filter first: only winning wide rows reach the exchange
-        kept = tagged.join(F.broadcast(winners), [*key, order_col, "_tb"], "leftsemi")
+        kept = tagged.join(F.broadcast(winners), dd_cols, "leftsemi")
         if bucket_partitions:
             kept = kept.repartition(bucket_partitions, *key)
-        return kept.distinct().drop("_tb")
+        return kept.dropDuplicates(dd_cols).drop("_tb")
     probe = tagged.repartition(bucket_partitions, *key) if bucket_partitions else tagged
     return (
-        probe.join(winners.hint("shuffle_hash"), [*key, order_col, "_tb"], "leftsemi")
-        .distinct()
+        probe.join(winners.hint("shuffle_hash"), dd_cols, "leftsemi")
+        .dropDuplicates(dd_cols)
         .drop("_tb")
     )

@@ -39,6 +39,14 @@ from seatunnel_spark.lake.table import LakeTable
 from seatunnel_spark.schema import OP_DDL, OP_INSERT
 
 
+# Upper bound on in-window events (seqs are unique, so window rows
+# < max_fence) below which the snapshot fold broadcasts the window's
+# winner keys for a map-side anti-join; larger windows fall back to a
+# shuffled anti-join (see run_snapshot_phase). ~2M keys of a few tens of
+# bytes is comfortably inside executor/driver broadcast budgets.
+SNAPSHOT_BROADCAST_MAX_WINDOW = 2_000_000
+
+
 def default_fences(num_buckets: int, max_fence: int) -> dict[int, int]:
     """Deterministic staggered per-chunk high watermarks in [0, max_fence]."""
     if num_buckets == 1:
@@ -81,12 +89,21 @@ def run_snapshot_phase(
     if table.epoch_committed(epoch_id):
         return {"skipped": True, "epoch_id": epoch_id}
 
-    first_ddl = (
-        events.where(F.col("op") == OP_DDL).agg(F.min("seq").alias("s")).collect()[0]["s"]
-    )
     max_fence = max(fences.values())
-    assert first_ddl is None or first_ddl >= max_fence, (
-        f"DDL at seq={first_ddl} precedes snapshot fence {max_fence}; "
+    # Assertion: no DDL precedes the snapshot fence. Equivalent to checking
+    # min(DDL seq) >= max_fence, but phrased as "no DDL below the fence" so
+    # the `seq < max_fence` predicate prunes to the log HEAD via parquet
+    # row-group stats — the original full-log min() aggregate scanned every
+    # file's op/seq columns just to prove a negative (guide §6: make
+    # predicates reach the scan).
+    early_ddl = (
+        events.where((F.col("op") == OP_DDL) & (F.col("seq") < F.lit(max_fence).cast("long")))
+        .select("seq")
+        .limit(1)
+        .collect()
+    )
+    assert not early_ddl, (
+        f"DDL at seq={early_ddl[0]['seq']} precedes snapshot fence {max_fence}; "
         "schema changes are serialized against the snapshot phase"
     )
 
@@ -129,11 +146,20 @@ def run_snapshot_phase(
     # them (measured: the previous base ∪ window LWW plan spent its time
     # hashing 1M wide rows that were unique by construction). Window
     # winners keep their op so deletes persist as tombstones.
+    # The broadcast is GATED on the window's size bound: seqs are unique,
+    # so the in-window event count (and hence the winner-key count) is
+    # < max_fence. A snapshot with high fences / a long catch-up window
+    # would otherwise broadcast an unbounded key set — a driver OOM at
+    # scale (the same reasoning as CdcIngestJob.broadcast_winners_max_
+    # events). Above the gate the anti-join is left un-hinted: the
+    # planner/AQE picks a shuffled anti-join keyed on the table key, which
+    # the bucketed write's repartition immediately reuses.
     key = table.key
     win = lww_reduce(window_rows, key, "seq")
-    base_clean = base_rows.join(
-        F.broadcast(win.select(*key)), key, "left_anti"
-    )
+    win_keys = win.select(*key)
+    if max_fence <= SNAPSHOT_BROADCAST_MAX_WINDOW:
+        win_keys = F.broadcast(win_keys)
+    base_clean = base_rows.join(win_keys, key, "left_anti")
     batch = base_clean.unionByName(win)
     fences_prop = {"fences": {str(b): int(w) for b, w in fences.items()}}
 

@@ -117,48 +117,62 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", col: str = "text") -
     - ``dup_2gram_frac``: 1 − distinct word-bigrams / total bigrams
     - ``top_word_frac``: occurrences of the most frequent word / total words
 
-    Shape at scale: one explode + one groupBy(doc_id, token) + one
-    groupBy(doc_id) — both aggregations are keyed by doc so they partially
-    combine map-side and shuffle only narrow (id, token-hash, count) rows;
-    document text itself never re-shuffles. Returns one row per document:
+    Shape at scale: a PURE per-document map — every statistic is a
+    function of one document's token multiset, so nothing needs to leave
+    its row. Distinct counts come from ``array_distinct``; the top-word
+    count is the longest run in the sorted token array (one
+    ``array_sort`` + one linear fold per row). The previous
+    explode → groupBy(doc, token) → groupBy(doc) → join form shuffled
+    every token twice and re-joined per doc — at 100 TB that is two
+    corpus-wide exchanges for numbers each scan task already had in
+    hand; the map form has ZERO exchanges and pipelines with the scan.
+    Counts are exact integers either way, so results are identical.
+    Returns one row per document:
     (doc_id, n_words, dup_word_frac, dup_2gram_frac, top_word_frac)."""
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), " ")
-    base = spread_small_input(df).select(F.col(id_col), words.alias("w"))
-    grams = base.select(
-        id_col,
-        F.col("w"),
-        F.zip_with(
-            F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
-            F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ).alias("g2"),
+    # null text produced no exploded rows (and thus no output row) in the
+    # aggregate form; reproduce that contract explicitly
+    base = (
+        spread_small_input(df)
+        .select(F.col(id_col), words.alias("w"))
+        .where(F.col("w").isNotNull())
     )
-    wstats = (
-        grams.select(id_col, F.explode("w").alias("t"))
-        .groupBy(id_col, "t")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_words"),
-            F.count("*").alias("n_distinct"),
-            F.max("c").alias("top_c"),
+    g2 = F.zip_with(
+        F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+        F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # longest run in the sorted array == max token multiplicity (top_c)
+    run0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("top"),
+    )
+
+    def run_step(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("bigint"))
+            .otherwise(F.lit(1).cast("bigint"))
         )
-    )
-    gstats = (
-        grams.select(id_col, F.explode("g2").alias("t"))
-        .groupBy(id_col, "t")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.sum("c").alias("n_g"), F.count("*").alias("n_g_distinct"))
-    )
-    return wstats.join(gstats, id_col, "left").select(
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["top"], run).alias("top")
+        )
+
+    top_c = F.aggregate(F.array_sort(F.col("w")), run0, run_step)["top"]
+    n_words = F.size("w").cast("bigint")
+    n_distinct = F.size(F.array_distinct(F.col("w"))).cast("bigint")
+    n_g = F.size(g2).cast("bigint")
+    n_g_distinct = F.size(F.array_distinct(g2)).cast("bigint")
+    return base.select(
         id_col,
-        F.col("n_words").cast("bigint").alias("n_words"),
-        F.round(1 - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_word_frac"),
-        F.round(
-            F.coalesce(1 - F.col("n_g_distinct") / F.col("n_g"), F.lit(0.0)), 6
-        ).alias("dup_2gram_frac"),
-        F.round(F.col("top_c") / F.col("n_words"), 6).alias("top_word_frac"),
+        n_words.alias("n_words"),
+        F.round(1 - n_distinct / n_words, 6).alias("dup_word_frac"),
+        # n_g can be 0 (single-word doc): the aggregate form yielded no
+        # gram row -> left-join null -> 0.0; guard the division (ANSI-safe)
+        F.when(n_g > 0, F.round(1 - n_g_distinct / n_g, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+        F.round(top_c / n_words, 6).alias("top_word_frac"),
     )
 
 

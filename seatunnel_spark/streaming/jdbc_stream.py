@@ -105,8 +105,23 @@ class JdbcExactlyOnceStreamSink:
                     '"n_upserts" BIGINT, "n_deletes" BIGINT, '
                     '"n_ddl_skipped" BIGINT, "committed_ms" BIGINT)'
                 )
-            except Exception:
-                pass  # exists (CREATE IF NOT EXISTS isn't portable)
+            except Exception as create_err:
+                # CREATE IF NOT EXISTS isn't portable, so "already exists"
+                # surfaces as an exception — but a REAL failure
+                # (connectivity, permissions, bad ledger name) must not be
+                # swallowed here only to resurface later as a confusing
+                # missing-table error in committed_epochs/apply_batch.
+                # Probe the table; if the ledger is genuinely absent the
+                # CREATE failure was real — re-raise it.
+                try:
+                    st2 = conn.createStatement()
+                    rs = st2.executeQuery(
+                        f"SELECT 1 FROM {self.ledger} WHERE 1=0"
+                    )
+                    rs.close()
+                    st2.close()
+                except Exception:
+                    raise create_err
             st.close()
         finally:
             conn.close()

@@ -499,19 +499,32 @@ class CdcIngestJob:
         # state with O(1) merge jobs per batch instead of O(#DDLs) — at 4
         # cores each extra segment job cost ~5s of non-parallelizing
         # plan/schedule/commit time (PROF in BENCH.md round 6).
-        # The ONE sequence where projection IS seq-dependent: dropping a
-        # column and re-adding the same name in the same batch re-binds
-        # that wire name to a fresh column id, so pre-drop events would
-        # leak their old values into the new column. Detect it and fall
-        # back to the sequential segment path.
+        # The ONE sequence where projection IS seq-dependent: a wire name
+        # FREED within the batch (drop_column frees its name; rename_column
+        # frees its old_name) and then re-bound by add_column re-binds that
+        # wire field to a fresh column id, so pre-DDL events would leak
+        # their old values into the new column. Detect it and fall back to
+        # the sequential segment path — the set scan is deliberately
+        # conservative (a false positive only costs segment merges, never
+        # correctness).
+        # Tie-break note (queue paths): sequential segment merges resolved
+        # same-key same-seq rows by segment order (later merge wins), while
+        # the fused single lww_reduce tie-breaks by xxhash64(payload). On
+        # the native log seqs are unique so the paths are identical; on
+        # timestamp-ordered queue wires (canal ts / mongo clusterTime) two
+        # updates to one key in the same tick straddling a DDL may resolve
+        # to either image — both are valid serializations of a tie the
+        # source ordering itself does not define.
         ddl_changes = [parse_change(p) for _, p in ddls]
-        dropped: set[str] = set()
+        freed: set[str] = set()
         fusable = True
         for ch in ddl_changes:
             for c in ch.changes if ch.kind == "batch" else (ch,):
                 if c.kind == "drop_column":
-                    dropped.add(c.name)
-                elif c.kind == "add_column" and c.name in dropped:
+                    freed.add(c.name)
+                elif c.kind == "rename_column":
+                    freed.add(c.old_name)
+                elif c.kind == "add_column" and c.name in freed:
                     fusable = False
         # the metadata pass already counted the batch: gate the winner
         # broadcast on its exact event count (see __init__ docstring)

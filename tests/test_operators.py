@@ -263,7 +263,12 @@ def test_ivf_topk_recall_and_plan(spark):
 
     assigned = similarity.ivf_assign(emb, cents)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # map-only: centroid literals, no join
+    # map-only over the corpus: the centroids ride as ONE broadcast row
+    # (BroadcastExchange of a 1-row table is allowed; a hash/range exchange
+    # of the corpus is the thing the 10^9-vector guarantee forbids)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # every vector lands in exactly one existing cell
     cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
     assert cells <= {cid for cid, _ in cents}

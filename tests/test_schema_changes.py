@@ -139,6 +139,53 @@ def test_batch_ddl_through_the_stream(spark, tmp_path):
     assert got["a.py"]["content"] == "v1"
 
 
+def test_rename_then_add_freed_name_falls_back_to_segments(spark, tmp_path):
+    """A batch holding `rename commit->commit_sha` then `add_column commit`
+    re-binds wire field 'commit' to the NEW column id. The fused whole-batch
+    projection would bind PRE-rename rows' 'commit' values to the new column
+    (and null out commit_sha) — the fusable scan must treat a rename's
+    old_name as freed and fall back to sequential segment merges, which keep
+    the pre-rename value in the renamed column."""
+    root = str(tmp_path / "t")
+    LakeTable.create(root, REPO_FIELDS, REPO_KEY, num_buckets=2)
+    rename = SchemaChange(
+        kind="rename_column", old_name="commit", name="commit_sha"
+    ).to_json()
+    add = SchemaChange(kind="add_column", name="commit", type="string").to_json()
+    rows = [
+        # seq, txn, op, repo, path, commit, lang, content, ddl, extra
+        (0, 0, "I", "o/r1", "a.py", "c0", "py", "v0", None, None),
+        (1, 0, "DDL", None, None, None, None, None, rename, None),
+        (2, 0, "DDL", None, None, None, None, None, add, None),
+    ]
+    ev = pd.DataFrame(
+        rows,
+        columns=["seq", "txn_id", "op", "repo", "path", "commit", "lang",
+                 "content", "ddl", "extra"],
+    )
+    ev["ts"] = pd.Timestamp(gen.EPOCH0) + pd.to_timedelta(ev["seq"], unit="s")
+    events_dir = str(tmp_path / "events")
+    import os
+
+    os.makedirs(events_dir)
+    spark.createDataFrame(ev, event_schema()).coalesce(1).write.parquet(
+        events_dir, mode="overwrite"
+    )
+    job = CdcIngestJob(spark, root, events_dir, str(tmp_path / "c"), num_buckets=2)
+    job.run_incremental(available_now=True, timeout_s=300)
+
+    table = LakeTable.load(root)
+    names = [f["name"] for f in table.schema_fields()]
+    assert "commit_sha" in names and "commit" in names
+    got = {r["path"]: r for r in table.scan(spark).collect()}
+    # sequential-segment semantics: the pre-rename value lives in the
+    # RENAMED column; the re-added 'commit' column holds nothing for
+    # pre-DDL rows
+    assert got["a.py"]["commit_sha"] == "c0"
+    assert got["a.py"]["commit"] is None
+    assert got["a.py"]["content"] == "v0"
+
+
 def test_timestamp_startup_mode(spark, tmp_path):
     """StartupMode TIMESTAMP: resolve ts → seq with one log query, then
     bounded replay from that offset equals the oracle over the log tail."""
