@@ -169,6 +169,30 @@ def minhash_lsh_pairs(
     # cluster needing executor-failure tolerance use checkpoint() instead.
     sigs = minhash_signatures(df, id_col, col, k).localCheckpoint(eager=True)
     band_rows = band_hashes(sigs, id_col, k, bands)
+    if pair_policy == "star":
+        # ONE bucket aggregate carries both the size cap and the hub: the
+        # cap drops whole buckets, so min(id) over a surviving bucket is
+        # the same whether computed before or after the filter — the
+        # previous cap-leftsemi + separate hub agg + join shape paid two
+        # aggregation exchanges and two joins for the same pair list.
+        stats = band_rows.groupBy("band", "bh").agg(
+            F.count("*").alias("_bn"), F.min(id_col).alias("_hub")
+        )
+        if max_bucket is not None:
+            stats = stats.where(F.col("_bn") <= max_bucket)
+        hits = (
+            band_rows.join(stats, ["band", "bh"])
+            .where(F.col(id_col) != F.col("_hub"))
+            .select(F.col("_hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        )
+        if min_band_matches <= 1:
+            return hits.distinct()
+        return (
+            hits.groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("_nb"))
+            .where(F.col("_nb") >= min_band_matches)
+            .select("doc_a", "doc_b")
+        )
     if max_bucket is not None:
         small = (
             band_rows.groupBy("band", "bh")
@@ -176,14 +200,7 @@ def minhash_lsh_pairs(
             .where(F.col("_bn") <= max_bucket)
         )
         band_rows = band_rows.join(small, ["band", "bh"], "leftsemi")
-    if pair_policy == "star":
-        hubs = band_rows.groupBy("band", "bh").agg(F.min(id_col).alias("_hub"))
-        hits = (
-            band_rows.join(hubs, ["band", "bh"])
-            .where(F.col(id_col) != F.col("_hub"))
-            .select(F.col("_hub").alias("doc_a"), F.col(id_col).alias("doc_b"))
-        )
-    elif pair_policy == "all":
+    if pair_policy == "all":
         left = band_rows.alias("l")
         right = band_rows.alias("r")
         hits = left.join(
