@@ -114,6 +114,7 @@ def merge_into(
     collect_stats: bool = True,
     broadcast_winners: bool = False,
     pre_reduced: bool = False,
+    unique_order: bool = False,
 ) -> dict:
     """Apply a change batch as one atomic delta commit (+ compaction when a
     bucket's file stack is deep). ``batch`` columns: current table schema
@@ -177,10 +178,15 @@ def merge_into(
         # set broadcasts and the LWW filter runs MAP-SIDE, so the one wide
         # exchange carries only winning rows — a churn-heavy batch shuffles
         # its distinct keys, not its raw volume. See lww_reduce's docstring.
+        # unique_order (native-log batches: seq is the unique log offset)
+        # removes the tie-break tag — the winners aggregate then scans only
+        # (key, seq), never re-reading the wide payload — and the post-join
+        # dedup pass (see lww_reduce docstring).
         reduced = lww_reduce(
             batch, key,
             bucket_partitions=table.num_buckets if pre_partitioned else None,
             broadcast_winners=broadcast_winners,
+            unique_order=unique_order,
         ).withColumnRenamed("op", "_op").withColumnRenamed("seq", "_seq")
 
     _mk("plan_build")

@@ -48,6 +48,7 @@ def lww_reduce(
     strategy: str = "auto",
     bucket_partitions: int | None = None,
     broadcast_winners: bool = False,
+    unique_order: bool = False,
 ) -> DataFrame:
     """One row per key: the one with the max ``order_col`` (LWW).
 
@@ -93,12 +94,32 @@ def lww_reduce(
     (the streaming job's metadata pass knows the batch's event count before
     any merge; CdcIngestJob.broadcast_winners_max_events) — an unbounded
     broadcast is a driver OOM at cluster scale.
+
+    ``unique_order``: caller CONTRACT that ``order_col`` is unique across the
+    input (the native parquet-events log: seq IS the log offset, unique by
+    construction like a binlog position). Ties are then impossible, so the
+    semi-join plan drops its tie-break machinery entirely: the winner
+    aggregate groups only (key → max(order)) — a 3-narrow-column scan that
+    never touches the wide payload (no ``xxhash64(payload)`` tag, which
+    forced the winners subtree to read and hash every content byte a second
+    time) — and the post-join dedup disappears (exactly one row carries the
+    max order per key). Queue wire formats order by timestamp where ties are
+    real; they must keep the default False.
     """
     if strategy == "auto":
         strategy = "semi_join" if "content" in df.columns else "max_by"
     if strategy == "max_by":
         out = lww_dedup_agg(df, key, order_col)
         return out.repartition(bucket_partitions, *key) if bucket_partitions else out
+    if unique_order:
+        winners = df.groupBy(*key).agg(F.max(order_col).alias(order_col))
+        if broadcast_winners:
+            kept = df.join(F.broadcast(winners), [*key, order_col], "leftsemi")
+            return (
+                kept.repartition(bucket_partitions, *key) if bucket_partitions else kept
+            )
+        probe = df.repartition(bucket_partitions, *key) if bucket_partitions else df
+        return probe.join(winners.hint("shuffle_hash"), [*key, order_col], "leftsemi")
     payload = [c for c in df.columns if c not in key and c != order_col]
     if not payload:  # (key, order) ties are full-row duplicates
         winners = df.groupBy(*key).agg(F.max(order_col).alias(order_col))

@@ -70,6 +70,7 @@ def run_snapshot_phase(
     fences: dict[int, int],
     epoch_id: str = "snapshot.0",
     chunk_groups: int = 1,
+    unique_order: bool = False,
 ) -> dict:
     """Build the initial table state: base ⊎ in-window events, normalized.
 
@@ -155,7 +156,9 @@ def run_snapshot_phase(
     # planner/AQE picks a shuffled anti-join keyed on the table key, which
     # the bucketed write's repartition immediately reuses.
     key = table.key
-    win = lww_reduce(window_rows, key, "seq")
+    # unique_order (native log): the window fold's winner aggregate scans
+    # only (key, seq) — no payload tie-break hash (lww_reduce docstring).
+    win = lww_reduce(window_rows, key, "seq", unique_order=unique_order)
     win_keys = win.select(*key)
     if max_fence <= SNAPSHOT_BROADCAST_MAX_WINDOW:
         win_keys = F.broadcast(win_keys)

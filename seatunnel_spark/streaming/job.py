@@ -177,6 +177,11 @@ class CdcIngestJob:
         self.wire_format = wire_format
         self.wire_row_schema = wire_row_schema
         self.broker = broker
+        # the native typed log's seq IS the log offset — unique by
+        # construction (binlog-position analog), so the LWW reduce can drop
+        # its tie-break machinery (lww_reduce(unique_order=...) docstring).
+        # Queue wire formats order by envelope timestamp where ties are real.
+        self._unique_order = wire_format == "parquet-events"
         self.lineage_dir = os.path.join(table_root, "lineage")
         self.metrics_dir = os.path.join(table_root, "metrics")
         self._events_applied = 0
@@ -204,7 +209,10 @@ class CdcIngestJob:
             f"{table.num_buckets} buckets"
         )
         t0 = time.time()
-        stats = run_snapshot_phase(self.spark, table, base, events, fences)
+        stats = run_snapshot_phase(
+            self.spark, table, base, events, fences,
+            unique_order=self._unique_order,
+        )
         if not stats.get("skipped"):
             self._write_lineage_snapshot(table, fences)
             self._write_metrics(
@@ -385,6 +393,7 @@ class CdcIngestJob:
                 collect_stats=False,
                 extra_summary={"seq_min": seg_lo, "seq_max": seg_hi},
                 broadcast_winners=broadcast_winners,
+                unique_order=self._unique_order,
             )
             any_applied = any_applied or not res.get("skipped")
             if i < len(ddls):
@@ -542,6 +551,7 @@ class CdcIngestJob:
                 collect_stats=False,
                 extra_summary={"seq_min": batch_lo, "seq_max": batch_hi},
                 broadcast_winners=bw,
+                unique_order=self._unique_order,
             )
             any_applied = any_applied or not res.get("skipped")
         else:

@@ -829,3 +829,27 @@ def test_lww_reduce_broadcast_winners_parity(spark):
         )
         assert a == b
         assert len(b) == 3 and {r["k"] for r in b} == {"k1", "k2", "k3"}
+
+
+def test_lww_reduce_unique_order_parity(spark):
+    """unique_order drops the tie-break tag and the post-join dedup (legal
+    only when order values are unique, the native log's contract). On such
+    input every path — default semi-join, unique_order shuffled, unique_order
+    broadcast, with/without bucket pre-partitioning — must return identical
+    rows."""
+    rows = [
+        ("k1", 1, "a"), ("k1", 3, "c"), ("k1", 2, "b"),
+        ("k2", 5, "x"), ("k2", 6, "y"),
+        ("k3", 7, "z"),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, content string")
+    expect = sorted(lww_reduce(df, ["k"], "seq", strategy="semi_join").collect())
+    for bp in (None, 4):
+        for bw in (False, True):
+            got = sorted(
+                lww_reduce(df, ["k"], "seq", strategy="semi_join",
+                           bucket_partitions=bp, broadcast_winners=bw,
+                           unique_order=True).collect()
+            )
+            assert got == expect, (bp, bw)
+    assert len(expect) == 3 and {r["content"] for r in expect} == {"c", "y", "z"}
