@@ -871,21 +871,14 @@ def q1_pricing_summary(spark, sf_dir):
     """.replace("{REV}", _orev("l_extendedprice", "l_discount")),
 )
 def q3_order_revenue(spark, sf_dir):
-    """Filter-first star join: customer (small, filtered) broadcasts into
-    orders FIRST, shrinking orders ~5x before it meets lineitem — the
-    selective dimension reduces the fact-side join input instead of
-    decorating its output (guide §3.1/§2.3). The li⋈orders strategy is left
-    to the planner/AQE: at bench scale the filtered orders side fits the
-    broadcast threshold (no lineitem shuffle at all); at 100 TB it degrades
-    to a sort-merge join of a 5x-smaller side."""
+    """Broadcast-friendly star join: customer (small, filtered) is broadcast
+    into orders×lineitem — the plan Catalyst should pick; verified in bench."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    o2 = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
-        "o_orderkey", "o_orderdate"
-    )
     return (
-        li.join(o2, li["l_orderkey"] == o2["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -908,27 +901,16 @@ def q3_order_revenue(spark, sf_dir):
     """.replace("{REV}", _orev("l_extendedprice", "l_discount")),
 )
 def q5_revenue_by_nation(spark, sf_dir):
-    """Dimension-first chain (guide §3.1): region('ASIA') prunes nation (tiny
-    broadcasts), nation prunes customer, customer prunes orders — each join
-    shrinks the next input ~5x BEFORE the fact table is touched, instead of
-    joining full lineitem×orders first and discarding 4/5 of the work at the
-    end. Only provably-tiny sides are forced broadcast; the customer→orders
-    and orders→lineitem strategies stay planner/AQE-chosen so the same plan
-    degrades to sort-merge at 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n2 = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
-        "n_nationkey", "n_name"
-    )
-    c2 = c.join(F.broadcast(n2), c["c_nationkey"] == n2["n_nationkey"]).select(
-        "c_custkey", "n_name"
-    )
-    o2 = o.join(c2, o["o_custkey"] == c2["c_custkey"]).select("o_orderkey", "n_name")
     return (
-        li.join(o2, li["l_orderkey"] == o2["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg(
             F.round(
